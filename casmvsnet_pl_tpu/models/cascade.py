@@ -1,0 +1,127 @@
+"""CascadeMVSNet: coarse-to-fine cascaded plane-sweep depth inference.
+
+Capability parity with /root/reference/models/mvsnet.py:107-244:
+  - shared FPN features for all V views;
+  - per-level plane-sweep cost volume (variance or groupwise correlation);
+  - 3D U-Net regularization -> softmax over depth -> soft-argmax regression;
+  - confidence = sum of probability over 4 consecutive depth bins at the
+    regressed (truncated) depth index, computed without gradient;
+  - level 2 sweeps uniformly from init_depth_min; levels 1 and 0 re-center a
+    narrowed hypothesis window around the x2-upsampled previous depth
+    (gradient-stopped), with per-level interval ratios.
+
+Scalar and per-sample (B,) ``init_depth_min`` / ``depth_interval`` are
+unified internally (the reference keeps two code paths,
+/root/reference/models/mvsnet.py:215-229).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.geometry import (depth_regression, get_depth_values,
+                            initial_depth_values, resize_bilinear)
+from ..ops.plane_sweep import build_cost_volume
+from .cost_reg import CostRegNet
+from .feature_net import FeatureNet
+
+Array = jax.Array
+
+
+def _sum4_confidence(prob: Array, depth_values_len: int) -> Array:
+    """Confidence: probability mass of 4 consecutive bins at the soft-argmax
+    index (truncated like torch's ``.long()``), no gradient.
+
+    prob: (B, D, H, W) -> (B, H, W).
+    """
+    D = depth_values_len
+    prob = jax.lax.stop_gradient(prob.astype(jnp.float32))
+    # sliding-window sum of 4 with (1, 2) zero padding along depth
+    padded = jnp.pad(prob, ((0, 0), (1, 2), (0, 0), (0, 0)))
+    cs = jnp.cumsum(padded, axis=1)
+    cs = jnp.pad(cs, ((0, 0), (1, 0), (0, 0), (0, 0)))
+    sum4 = cs[:, 4:D + 4] - cs[:, :D]                        # (B, D, H, W)
+    idx_f = jnp.sum(prob * jnp.arange(D, dtype=jnp.float32)[None, :, None, None],
+                    axis=1)
+    idx = jnp.clip(idx_f.astype(jnp.int32), 0, D - 1)        # (B, H, W)
+    return jnp.take_along_axis(sum4, idx[:, None], axis=1)[:, 0]
+
+
+class CascadeMVSNet(nn.Module):
+    """Args mirror the reference flags (--n_depths, --interval_ratios,
+    --num_groups); ``dtype`` selects the TPU compute precision (bfloat16
+    recommended), parameters and depth math stay float32."""
+    n_depths: Sequence[int] = (8, 32, 48)
+    interval_ratios: Sequence[float] = (1.0, 2.0, 4.0)
+    num_groups: int = 1
+    dtype: Any = jnp.float32
+    axis_name: str | None = None
+    remat: bool = True
+
+    levels: int = 3
+
+    def setup(self):
+        assert len(self.n_depths) == self.levels
+        assert len(self.interval_ratios) == self.levels
+        self.feature = FeatureNet(dtype=self.dtype, axis_name=self.axis_name)
+        self.cost_regs = [CostRegNet(dtype=self.dtype, axis_name=self.axis_name,
+                                     name=f"cost_reg_{l}")
+                          for l in range(self.levels)]
+
+    def _predict_depth(self, feats: Array, proj_mats: Array,
+                       depth_values: Array, level: int,
+                       train: bool) -> tuple[Array, Array]:
+        """One cascade level: cost volume -> regularize -> regress.
+
+        feats: (B, V, h, w, C); proj_mats: (B, V-1, 3, 4);
+        depth_values: (B, D, h, w). Returns depth (B, h, w), confidence (B, h, w).
+        """
+        volume = build_cost_volume(feats, proj_mats, depth_values,
+                                   groups=self.num_groups, remat=self.remat)
+        cost = self.cost_regs[level](volume, train)           # (B, D, h, w)
+        prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
+        depth = depth_regression(prob, depth_values)
+        confidence = _sum4_confidence(prob, depth_values.shape[1])
+        return depth, confidence
+
+    def __call__(self, imgs: Array, proj_mats: Array,
+                 init_depth_min: Array | float,
+                 depth_interval: Array | float,
+                 train: bool = False) -> dict[str, Array]:
+        """imgs: (B, V, H, W, 3) normalized images;
+        proj_mats: (B, V-1, levels, 3, 4), level index fine->coarse;
+        init_depth_min / depth_interval: scalar or (B,).
+
+        Returns {'depth_l': (B, h_l, w_l), 'confidence_l': ...} for l=0,1,2.
+        """
+        B, V, H, W, _ = imgs.shape
+        dmin = jnp.broadcast_to(jnp.asarray(init_depth_min, jnp.float32), (B,))
+        dint = jnp.broadcast_to(jnp.asarray(depth_interval, jnp.float32), (B,))
+
+        feats = self.feature(imgs.reshape(B * V, H, W, 3).astype(self.dtype),
+                             train)
+
+        results: dict[str, Array] = {}
+        depth_prev = None
+        for l in reversed(range(self.levels)):               # 2, 1, 0
+            feats_l = feats[f"level_{l}"]
+            h, w = feats_l.shape[1:3]
+            feats_l = feats_l.reshape(B, V, h, w, feats_l.shape[-1])
+            proj_mats_l = proj_mats[:, :, l]                 # (B, V-1, 3, 4)
+            interval_l = dint * float(self.interval_ratios[l])
+            D = int(self.n_depths[l])
+            if l == self.levels - 1:
+                depth_values = initial_depth_values(dmin, interval_l, D, B, h, w)
+            else:
+                prev = jax.lax.stop_gradient(depth_prev)     # (B, h/2, w/2)
+                prev = resize_bilinear(prev[..., None], (h, w))[..., 0]
+                depth_values = get_depth_values(prev, D, interval_l)
+            depth_l, conf_l = self._predict_depth(
+                feats_l, proj_mats_l, depth_values, l, train)
+            results[f"depth_{l}"] = depth_l
+            results[f"confidence_{l}"] = conf_l
+            depth_prev = depth_l
+        return results
