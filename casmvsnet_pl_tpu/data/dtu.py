@@ -26,7 +26,15 @@ _LISTS_DIR = os.path.join(os.path.dirname(__file__), "lists", "dtu")
 
 
 class DTUDataset:
-    """Yields numpy sample dicts; see data/base.py for the schema."""
+    """Yields numpy sample dicts; see data/base.py for the schema.
+
+    The DTU protocol constants are class attributes so tests can exercise the
+    exact same code paths on miniature synthetic trees (data/synthetic.py).
+    """
+    NATIVE_WH = (1600, 1200)        # native image/depth resolution (test cams)
+    DEPTH_CROP = ((44, 556), (80, 720))  # (rows, cols) crop after 0.5x resize
+    N_CAMS = 49                     # shared camera rig size
+    LISTS_DIR = _LISTS_DIR
 
     def __init__(self, root_dir: str, split: str, n_views: int = 3,
                  levels: int = 3, depth_interval: float = 2.65,
@@ -47,7 +55,7 @@ class DTUDataset:
 
     # -- metadata ----------------------------------------------------------
     def build_metas(self):
-        with open(os.path.join(_LISTS_DIR, f"{self.split}.txt")) as f:
+        with open(os.path.join(self.LISTS_DIR, f"{self.split}.txt")) as f:
             self.scans = [line.rstrip() for line in f if line.strip()]
         light_idxs = [3] if self.img_wh is not None else range(7)
         pair_path = os.path.join(self.root_dir, "Cameras/pair.txt")
@@ -61,7 +69,7 @@ class DTUDataset:
     def build_proj_mats(self):
         """DTU shares one camera rig across scans: 49 cam files."""
         self.proj_mats = []
-        for vid in range(49):
+        for vid in range(self.N_CAMS):
             if self.img_wh is None:
                 cam_path = os.path.join(self.root_dir,
                                         f"Cameras/train/{vid:08d}_cam.txt")
@@ -71,7 +79,7 @@ class DTUDataset:
                                         f"Cameras/{vid:08d}_cam.txt")
                 intrinsics, extrinsics, depth_min = read_cam_file(cam_path)
                 intrinsics = scale_intrinsics_to_coarsest(
-                    intrinsics, (1600, 1200), self.img_wh)
+                    intrinsics, self.NATIVE_WH, self.img_wh)
             mats = build_level_proj_mats(intrinsics, extrinsics, self.levels)
             self.proj_mats.append((mats, depth_min))
 
@@ -94,7 +102,8 @@ class DTUDataset:
         if self.img_wh is None:
             depth = cv2.resize(depth, None, fx=0.5, fy=0.5,
                                interpolation=cv2.INTER_NEAREST)
-            depth_0 = depth[44:556, 80:720]                        # (512, 640)
+            (r0, r1), (c0, c1) = self.DEPTH_CROP
+            depth_0 = depth[r0:r1, c0:c1]                          # (512, 640)
         else:
             depth_0 = cv2.resize(depth, self.img_wh,
                                  interpolation=cv2.INTER_NEAREST)
@@ -108,7 +117,8 @@ class DTUDataset:
         if self.img_wh is None:
             mask = cv2.resize(mask, None, fx=0.5, fy=0.5,
                               interpolation=cv2.INTER_NEAREST)
-            mask_0 = mask[44:556, 80:720]
+            (r0, r1), (c0, c1) = self.DEPTH_CROP
+            mask_0 = mask[r0:r1, c0:c1]
         else:
             mask_0 = cv2.resize(mask, self.img_wh,
                                 interpolation=cv2.INTER_NEAREST)

@@ -1,0 +1,173 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from casmvsnet_pl_tpu.data import DTUDataset, DataLoader, collate, read_pfm, save_pfm
+from casmvsnet_pl_tpu.data.cams import (build_level_proj_mats, read_cam_file,
+                                        read_pair_file, relative_proj_mats)
+from casmvsnet_pl_tpu.data.synthetic import PlaneScene, write_dtu_tree
+from casmvsnet_pl_tpu.ops import variance_cost_volume
+
+
+def test_pfm_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    for shape in [(7, 5), (6, 8, 3)]:
+        data = rng.randn(*shape).astype(np.float32)
+        p = str(tmp_path / "x.pfm")
+        save_pfm(p, data)
+        back, scale = read_pfm(p)
+        assert back.shape == data.shape
+        assert np.allclose(back, data)
+        assert scale == 1.0
+
+
+def test_pfm_matches_reference_format(tmp_path):
+    # cross-check container format against the reference reader's conventions:
+    # header Pf, "<w> <h>", negative scale => little-endian, bottom-up rows
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "y.pfm")
+    save_pfm(p, data)
+    raw = open(p, "rb").read()
+    assert raw.startswith(b"Pf\n4 3\n-1")
+    payload = np.frombuffer(raw.split(b"\n", 3)[3], "<f4").reshape(3, 4)
+    assert np.allclose(payload, data[::-1])  # flipped vertically on disk
+
+
+def _write_cam(path, K, E, depth_min=425.0):
+    with open(path, "w") as f:
+        f.write("extrinsic\n")
+        for row in E:
+            f.write(" ".join(str(float(x)) for x in row) + "\n")
+        f.write("\nintrinsic\n")
+        for row in K:
+            f.write(" ".join(str(float(x)) for x in row) + "\n")
+        f.write(f"\n{depth_min} 2.5\n")
+
+
+def test_cam_file_roundtrip(tmp_path):
+    K = np.array([[361.5, 0, 82.9], [0, 361.5, 66.4], [0, 0, 1]], np.float32)
+    E = np.eye(4, dtype=np.float32)
+    E[:3, 3] = [1.0, 2.0, 3.0]
+    p = str(tmp_path / "c_cam.txt")
+    _write_cam(p, K, E)
+    K2, E2, dmin = read_cam_file(p)
+    assert np.allclose(K2, K) and np.allclose(E2, E) and dmin == 425.0
+
+
+def test_build_level_proj_mats_doubling():
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+    E = np.eye(4, dtype=np.float32)
+    mats = build_level_proj_mats(K, E)          # fine -> coarse
+    assert mats.shape == (3, 4, 4)
+    # level 2 (coarse) uses K as given; level 0 has K doubled twice
+    assert np.allclose(mats[2][:3, :3], K)
+    K0 = K.copy()
+    K0[:2] *= 4
+    assert np.allclose(mats[0][:3, :3], K0)
+    assert np.allclose(mats[0][3], [0, 0, 0, 1])
+
+
+def test_relative_proj_identity():
+    K = np.diag([50.0, 60.0, 1.0]).astype(np.float32)
+    E = np.eye(4, dtype=np.float32)
+    E[:3, 3] = [5, -2, 1]
+    ref = build_level_proj_mats(K, E)
+    rel = relative_proj_mats(ref, ref[None])     # src == ref
+    assert rel.shape == (1, 3, 3, 4)
+    for l in range(3):
+        assert np.allclose(rel[0, l], np.eye(4)[:3], atol=1e-5)
+
+
+def test_variance_cost_volume_finds_true_depth_plane():
+    """End-to-end geometric consistency: the variance cost volume of the raw
+    synthetic images must be minimized at the true plane depth."""
+    scene = PlaneScene(img_wh=(64, 64), n_views=3, z0=500.0, baseline=20.0,
+                       focal=120.0)
+    imgs, rel, _ = scene.model_inputs(normalize=False)
+    feats = jnp.asarray(imgs[0])                    # (V, H, W, 3)
+    proj = jnp.asarray(rel[0, :, 0])                # (V-1, 3, 4) finest level
+    depth_candidates = np.linspace(420, 580, 33).astype(np.float32)
+    dv = jnp.broadcast_to(
+        jnp.asarray(depth_candidates)[:, None, None], (33, 64, 64))
+    vol = np.asarray(variance_cost_volume(feats, proj, dv))  # (D, H, W, 3)
+    cost = vol.sum(-1)
+    # interior pixels only (border pixels sample outside the other views)
+    interior = cost[:, 20:44, 20:44]
+    best = depth_candidates[np.argmin(interior, axis=0)]
+    assert np.abs(best - 500.0).mean() < 10.0
+    assert np.abs(np.median(best) - 500.0) <= 5.0
+
+
+@pytest.fixture(scope="module")
+def dtu_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dtu"))
+    write_dtu_tree(root, scans=("synth1", "synth2"), n_cams=5)
+    lists = str(tmp_path_factory.mktemp("lists"))
+    for split, scans in [("train", ["synth1"]), ("val", ["synth2"]),
+                         ("test", ["synth1", "synth2"])]:
+        with open(os.path.join(lists, f"{split}.txt"), "w") as f:
+            f.write("\n".join(scans) + "\n")
+
+    class TinyDTU(DTUDataset):
+        NATIVE_WH = (256, 256)
+        DEPTH_CROP = ((32, 96), (32, 96))
+        N_CAMS = 5
+        LISTS_DIR = lists
+
+    return root, TinyDTU
+
+
+def test_dtu_train_sample_schema(dtu_root):
+    root, TinyDTU = dtu_root
+    ds = TinyDTU(root, "train", n_views=3)
+    assert len(ds) == 5 * 7  # 5 ref views x 7 lights x 1 scan
+    s = ds[0]
+    assert s["imgs"].shape == (3, 64, 64, 3)
+    assert s["proj_mats"].shape == (2, 3, 3, 4)
+    assert s["depths"]["level_0"].shape == (64, 64)
+    assert s["depths"]["level_2"].shape == (16, 16)
+    assert s["masks"]["level_1"].dtype == bool
+    assert s["init_depth_min"] == np.float32(425.0)
+    assert s["depth_interval"] == np.float32(2.65)
+    # depth pyramid consistent with the synthetic plane (z ~ 500)
+    d0 = s["depths"]["level_0"]
+    assert 420 < d0.mean() < 580
+
+
+def test_dtu_test_mode_no_gt(dtu_root):
+    root, TinyDTU = dtu_root
+    ds = TinyDTU(root, "test", n_views=3, img_wh=(64, 64))
+    assert len(ds) == 2 * 5  # light 3 only
+    s = ds[0]
+    assert "depths" not in s and "masks" not in s
+    assert s["imgs"].shape == (3, 64, 64, 3)
+    assert s["scan_vid"][0] in ("synth1", "synth2")
+
+
+def test_dtu_proj_mats_consistent_between_modes(dtu_root):
+    """Test-mode intrinsic rescaling must reproduce the train-mode cams when
+    img_wh equals the train resolution."""
+    root, TinyDTU = dtu_root
+    tr = TinyDTU(root, "train", n_views=3)
+    te = TinyDTU(root, "test", n_views=3, img_wh=(64, 64))
+    for vid in range(5):
+        a, da = tr.proj_mats[vid]
+        b, db = te.proj_mats[vid]
+        assert da == db
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_dataloader_collate_and_shapes(dtu_root):
+    root, TinyDTU = dtu_root
+    ds = TinyDTU(root, "train", n_views=3)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2, seed=1)
+    assert len(dl) == (5 * 7) // 2
+    batch = next(iter(dl))
+    assert batch["imgs"].shape == (2, 3, 64, 64, 3)
+    assert batch["proj_mats"].shape == (2, 2, 3, 3, 4)
+    assert batch["depths"]["level_0"].shape == (2, 64, 64)
+    assert batch["masks"]["level_2"].shape == (2, 16, 16)
+    assert batch["init_depth_min"].shape == (2,)
+    assert len(batch["scan_vid"]) == 2
