@@ -1,0 +1,87 @@
+"""Headline benchmark: depth-maps/sec/chip at DTU 640x512, 3 views.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (the reference never benchmarks this exact config):
+its notebook measures 0.756 s/view on an RTX 2080Ti at 1152x864 x 5 views
+(/root/reference/test.ipynb cell 8). Scaling by pixel count (3.04x) and the
+source-view count in the dominant warp/cost path ((5-1)/(3-1) = 2x feature
+volume work, partially amortized) gives ~0.25 s/view at 640x512 x 3 views,
+i.e. ~4.0 maps/s on the 2080Ti. vs_baseline = measured / 4.0 (so the
+>= 10x north star in BASELINE.md corresponds to vs_baseline >= 10).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MAPS_PER_SEC = 4.0          # RTX 2080Ti estimate, see module docstring
+
+
+def make_inputs(batch: int, H: int, W: int, n_views: int):
+    """Realistic inputs: the synthetic plane scene at bench resolution."""
+    from casmvsnet_pl_tpu.data.synthetic import PlaneScene
+    scene = PlaneScene(img_wh=(W, H), n_views=n_views, z0=460.0,
+                       baseline=12.0, focal=600.0, slope_x=0.2)
+    imgs, proj, _ = scene.model_inputs()
+    imgs = np.repeat(imgs, batch, axis=0)
+    proj = np.repeat(proj, batch, axis=0)
+    return imgs, proj
+
+
+def bench_forward(batch: int = 2, H: int = 512, W: int = 640,
+                  n_views: int = 3, iters: int = 20, groups: int = 1):
+    import jax
+    import jax.numpy as jnp
+    from casmvsnet_pl_tpu.models import CascadeMVSNet
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = CascadeMVSNet(dtype=dtype, num_groups=groups, remat=False)
+    imgs, proj = make_inputs(batch, H, W, n_views)
+    imgs, proj = jnp.asarray(imgs), jnp.asarray(proj)
+    variables = model.init(jax.random.PRNGKey(0), imgs[:, :, :64, :64],
+                           proj, 425.0, 2.65)
+
+    @jax.jit
+    def forward(imgs, proj):
+        out = model.apply(variables, imgs, proj, 425.0, 2.65)
+        return out["depth_0"], out["confidence_2"]
+
+    # warmup / compile
+    d, c = forward(imgs, proj)
+    jax.block_until_ready(d)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, c = forward(imgs, proj)
+    jax.block_until_ready(d)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        best = 0.0
+        for batch in (1, 2, 4):
+            try:
+                mps = bench_forward(batch=batch, iters=20)
+            except Exception:
+                break
+            best = max(best, mps)
+    else:
+        # CPU smoke mode: tiny shapes, not a performance statement
+        best = bench_forward(batch=1, H=64, W=64, iters=3)
+    print(json.dumps({
+        "metric": "depth_maps_per_sec_per_chip_640x512_3views",
+        "value": round(best, 3),
+        "unit": "maps/s",
+        "vs_baseline": round(best / BASELINE_MAPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -143,7 +143,8 @@ class PlaneScene:
 
 
 def write_dtu_tree(root: str, scans=("scan1", "scan2"), n_cams: int = 5,
-                   img_wh=(64, 64), native_wh=(256, 256), seed: int = 0) -> None:
+                   img_wh=(64, 64), native_wh=(256, 256), seed: int = 0,
+                   z0: float = 460.0, slope_x: float = 0.3) -> None:
     """Write a miniature DTU-format tree for data-reader tests.
 
     Follows DTU's on-disk layout exactly but with configurable (tiny) sizes:
@@ -175,7 +176,10 @@ def write_dtu_tree(root: str, scans=("scan1", "scan2"), n_cams: int = 5,
                 f.write(" ".join(f"{x:.6f}" for x in row) + "\n")
             f.write(f"\n{depth_min} 2.5\n")
 
-    scene = PlaneScene(img_wh=img_wh, n_views=n_cams, seed=seed)
+    # off-center depth + slope: a random-init cascade predicts ~the sweep
+    # center, so GT must sit away from it for training tests to have headroom
+    scene = PlaneScene(img_wh=img_wh, n_views=n_cams, seed=seed, z0=z0,
+                       slope_x=slope_x)
     for vid in range(n_cams):
         E = scene.extrinsics[vid]
         K_train = scene.K.copy()
