@@ -126,13 +126,18 @@ def depth_regression(prob: Array, depth_values: Array) -> Array:
 
 
 @functools.lru_cache(maxsize=64)
-def _resize_weights(in_size: int, out_size: int) -> jnp.ndarray:
-    """Dense (out, in) bilinear interpolation matrix, align_corners=True."""
+def _resize_weights(in_size: int, out_size: int):
+    """Dense (out, in) bilinear interpolation matrix, align_corners=True.
+
+    Returns a host numpy array: caching a jnp array here would capture a
+    tracer when first materialized inside a jit trace and poison later
+    traces (UnexpectedTracerError); numpy constants are trace-safe.
+    """
     import numpy as np
     if out_size == 1 or in_size == 1:
         w = np.zeros((out_size, in_size), np.float32)
         w[:, 0] = 1.0
-        return jnp.asarray(w)
+        return w
     src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
     lo = np.floor(src).astype(np.int64)
     lo = np.clip(lo, 0, in_size - 2)
@@ -140,7 +145,7 @@ def _resize_weights(in_size: int, out_size: int) -> jnp.ndarray:
     w = np.zeros((out_size, in_size), np.float32)
     w[np.arange(out_size), lo] = 1.0 - frac
     w[np.arange(out_size), lo + 1] = frac
-    return jnp.asarray(w)
+    return w
 
 
 def resize_bilinear(x: Array, out_hw: tuple[int, int]) -> Array:
@@ -157,8 +162,8 @@ def resize_bilinear(x: Array, out_hw: tuple[int, int]) -> Array:
     out_h, out_w = out_hw
     if (h, w) == (out_h, out_w):
         return x
-    wy = _resize_weights(h, out_h).astype(x.dtype)   # (out_h, h)
-    wx = _resize_weights(w, out_w).astype(x.dtype)   # (out_w, w)
+    wy = jnp.asarray(_resize_weights(h, out_h), x.dtype)   # (out_h, h)
+    wx = jnp.asarray(_resize_weights(w, out_w), x.dtype)   # (out_w, w)
     # full precision: this interpolates depth maps, bf16 matmul would bias them
     hi = jax.lax.Precision.HIGHEST
     x = jnp.einsum("oh,...hwc->...owc", wy, x, precision=hi)

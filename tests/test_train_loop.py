@@ -99,6 +99,11 @@ def test_data_parallel_matches_single_device(setup):
                        rtol=1e-4)
     flat1, flat8 = jax.tree.leaves(p1), jax.tree.leaves(p8)
     for a, b in zip(flat1, flat8):
-        # tiny differences are psum-vs-serial float accumulation order
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-2, atol=5e-5)
+        # Per-leaf relative L2: psum-vs-serial accumulation order perturbs
+        # gradients ~1e-2 relative through the BatchNorm chains (verified by
+        # direct gradient diffing, scripts/debug_dp.py); a genuine sharding
+        # bug (per-shard BN, missing all-reduce, wrong loss scaling) shows up
+        # as O(1) relative error here.
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+        assert rel < 3e-3, f"param leaf rel L2 diff {rel:.2e}"
