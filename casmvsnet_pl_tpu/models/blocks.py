@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.conv3d import conv3x3x3, conv_transpose3x3x3_s2
+
 Dtype = Any
 
 # InPlaceABN defaults: eps=1e-5, torch momentum 0.1 -> flax momentum 0.9,
@@ -25,6 +27,25 @@ Dtype = Any
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 LEAKY_SLOPE = 0.01
+
+
+class Conv3DKd(nn.Module):
+    """3x3x3 conv (pad 1, stride 1|2, no bias) via ops.conv3d.conv3x3x3.
+
+    Parameter tree matches nn.Conv (kernel (3,3,3,Cin,Cout) under 'kernel')
+    so checkpoints are interchangeable with the naive formulation.
+    """
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, x.shape[-1], self.features),
+                            jnp.float32)
+        return conv3x3x3(x.astype(self.dtype), kernel.astype(self.dtype),
+                         self.stride)
 
 
 class ConvBnAct(nn.Module):
@@ -42,11 +63,18 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        k = (self.kernel_size,) * self.dims
-        s = (self.stride,) * self.dims
-        p = ((self.pad, self.pad),) * self.dims
-        x = nn.Conv(self.features, k, strides=s, padding=p, use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        if self.dims == 3 and self.kernel_size == 3 and self.pad == 1 \
+                and self.stride in (1, 2):
+            # kd-unrolled fast path (ops/conv3d.py): ~2-3x on TPU for the
+            # small channel counts of CostRegNet. Same param tree as nn.Conv.
+            x = Conv3DKd(self.features, self.stride, dtype=self.dtype,
+                         name="conv")(x)
+        else:
+            k = (self.kernel_size,) * self.dims
+            s = (self.stride,) * self.dims
+            p = ((self.pad, self.pad),) * self.dims
+            x = nn.Conv(self.features, k, strides=s, padding=p,
+                        use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype,
                          axis_name=self.axis_name if train else None,
@@ -73,13 +101,10 @@ class ConvTransposeBnAct3D(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, 3, in_ch, self.features), jnp.float32)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1, 1, 1),
-            padding=((1, 2), (1, 2), (1, 2)),
-            lhs_dilation=(2, 2, 2),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
+        # depth-parity-decomposed transposed conv (ops/conv3d.py) — exactly
+        # lhs_dilation=(2,2,2) with (1,2) padding, but ~2x faster on TPU
+        y = conv_transpose3x3x3_s2(x.astype(self.dtype),
+                                   kernel.astype(self.dtype))
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype,
                          axis_name=self.axis_name if train else None,

@@ -71,3 +71,94 @@ def grid_sample_batched(feat: Array, xy: Array) -> Array:
     feat: (B, H, W, C); xy: (B, ..., 2) -> (B, ..., C).
     """
     return jax.vmap(grid_sample)(feat, xy)
+
+
+# ---------------------------------------------------------------------------
+# Packed-quad fast path
+#
+# TPU's gather engine costs ~2.5 ns per gathered ROW independent of row width
+# (8..128 lanes, measured on v5e). Four separate C-wide tap gathers therefore
+# cost 4x one 4C-wide gather. pack_quad() precomputes, for every (y, x), the
+# 2x2 bilinear support [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)] as 4C
+# channels (zero-padded at borders), and grid_sample_quad() samples with a
+# single row gather + a weighted 4-block reduction.
+# ---------------------------------------------------------------------------
+
+def pack_quad(feat: Array) -> Array:
+    """(H, W, C) -> (H+1, W+1, 4C) packed 2x2 bilinear supports.
+
+    Entry [yq, xq] holds the taps for floor coords (y0, x0) = (yq-1, xq-1):
+    the +1 offset gives one row/col of zero guard so taps with y0 = -1 or
+    x0 = -1 (coordinates in [-1, 0)) resolve in-bounds. Out-of-image taps
+    are zero, preserving the reference's zeros padding semantics.
+    """
+    H, W, C = feat.shape
+    # pad: 1 guard before (for floor = -1) and 2 after (floor = H-1 needs
+    # y0+1 = H, and the guard row y0 = H itself for clamped far coords)
+    p = jnp.pad(feat, ((1, 2), (1, 2), (0, 0)))
+    q00 = p[:H + 1, :W + 1]          # (y0, x0)
+    q01 = p[:H + 1, 1:W + 2]         # (y0, x0+1)
+    q10 = p[1:H + 2, :W + 1]         # (y0+1, x0)
+    q11 = p[1:H + 2, 1:W + 2]        # (y0+1, x0+1)
+    return jnp.concatenate([q00, q01, q10, q11], axis=-1)  # (H+1, W+1, 4C)
+
+
+def grid_sample_quad(feat_quad: Array, xy: Array, height: int,
+                     width: int) -> Array:
+    """Bilinear sample via one row gather from a pack_quad() volume.
+
+    Supports an optional shared leading batch axis on BOTH arguments: the
+    batch is folded into the flat gather index (one unbatched gather) because
+    XLA lowers batched gathers ~2x slower on TPU than flat ones.
+
+    Args:
+      feat_quad: (H+1, W+1, 4C) from :func:`pack_quad` of an (H, W, C) map,
+        or (B, H+1, W+1, 4C).
+      xy: (..., 2) pixel coordinates (x, y) in the ORIGINAL (H, W) frame;
+        (B, ..., 2) in the batched form.
+      height, width: original H, W (static).
+    Returns:
+      (..., C) sampled features, same semantics as :func:`grid_sample`.
+    """
+    batched = feat_quad.ndim == 4
+    B = feat_quad.shape[0] if batched else 1
+    Hq, Wq, C4 = feat_quad.shape[-3:]
+    C = C4 // 4
+    out_shape = xy.shape[:-1] + (C,)
+    xy = xy.reshape(B, -1, 2).astype(jnp.float32)
+    x, y = xy[..., 0], xy[..., 1]                            # (B, N)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    # quad index: +1 guard offset, clamped into the padded grid. Taps whose
+    # floor falls outside [-1, H-1+1] land on zero padding or get w=0 below.
+    x0i = jnp.clip(x0.astype(jnp.int32) + 1, 0, Wq - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32) + 1, 0, Hq - 1)
+
+    # Per-tap validity, identical to grid_sample's per-tap zeros padding.
+    # Far out-of-range coords clamp onto guard rows whose texels are zero
+    # AND get zero weights, so clamping can never alias onto real texels.
+    v_x0 = (x0 >= 0) & (x0 < width)
+    v_x1 = (x0 + 1 >= 0) & (x0 + 1 < width)
+    v_y0 = (y0 >= 0) & (y0 < height)
+    v_y1 = (y0 + 1 >= 0) & (y0 + 1 < height)
+
+    w00 = jnp.where(v_y0 & v_x0, wy0 * wx0, 0.0)
+    w01 = jnp.where(v_y0 & v_x1, wy0 * wx1, 0.0)
+    w10 = jnp.where(v_y1 & v_x0, wy1 * wx0, 0.0)
+    w11 = jnp.where(v_y1 & v_x1, wy1 * wx1, 0.0)
+
+    flat = feat_quad.reshape(B * Hq * Wq, C4)
+    idx = y0i * Wq + x0i                                     # (B, N)
+    if batched:
+        idx = idx + (jnp.arange(B, dtype=jnp.int32) * (Hq * Wq))[:, None]
+    rows = jnp.take(flat, idx.reshape(-1), axis=0)           # (B*N, 4C)
+    w = jnp.stack([w00, w01, w10, w11], axis=-1)             # (B, N, 4)
+    w = w.reshape(-1, 4).astype(feat_quad.dtype)
+    out = jnp.einsum("nqc,nq->nc", rows.reshape(-1, 4, C), w)
+    return out.reshape(out_shape)

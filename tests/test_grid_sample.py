@@ -75,6 +75,27 @@ def test_batched_and_nd_coords():
         assert np.allclose(out[b].reshape(-1, C), ref, atol=1e-5)
 
 
+def test_quad_pack_matches_reference_sampler():
+    """The packed-quad fast path (one 4C-wide row gather) must be exactly
+    equivalent to the 4-tap grid_sample across in/out-of-bounds coords."""
+    from casmvsnet_pl_tpu.ops.grid_sample import grid_sample_quad, pack_quad
+    rng = np.random.RandomState(4)
+    H, W, C = 13, 17, 8
+    feat = rng.randn(H, W, C).astype(np.float32)
+    xy = np.concatenate([
+        rng.uniform(-3, [W + 3, H + 3], size=(2000, 2)),
+        np.array([[W, H]] * 4),                    # negative-depth sentinel
+        rng.uniform(-1e4, 1e4, size=(50, 2)),      # far outside
+        np.array([[0, 0], [W - 1, H - 1], [-1, -1], [W - 0.5, H - 0.5]]),
+    ]).astype(np.float32)
+    a = np.asarray(grid_sample(jnp.asarray(feat), jnp.asarray(xy)))
+    b = np.asarray(grid_sample_quad(pack_quad(jnp.asarray(feat)),
+                                    jnp.asarray(xy), H, W))
+    assert np.allclose(a, b, atol=1e-5)
+    ref = _torch_grid_sample(feat, xy)
+    assert np.allclose(b, ref, atol=1e-5)
+
+
 def test_bfloat16_feature_path():
     rng = np.random.RandomState(3)
     feat = rng.randn(8, 8, 4).astype(np.float32)
