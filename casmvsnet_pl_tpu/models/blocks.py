@@ -38,14 +38,20 @@ class Conv3DKd(nn.Module):
     features: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, x.shape[-1], self.features),
                             jnp.float32)
-        return conv3x3x3(x.astype(self.dtype), kernel.astype(self.dtype),
-                         self.stride)
+        y = conv3x3x3(x.astype(self.dtype), kernel.astype(self.dtype),
+                      self.stride)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class ConvBnAct(nn.Module):

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import ConvBnAct, ConvTransposeBnAct3D
+from .blocks import Conv3DKd, ConvBnAct, ConvTransposeBnAct3D
 
 
 class CostRegNet(nn.Module):
@@ -46,6 +46,5 @@ class CostRegNet(nn.Module):
         c = c0 + ConvTransposeBnAct3D(8, dtype=self.dtype,
                                       axis_name=self.axis_name,
                                       name="deconv11")(c, train)
-        cost = nn.Conv(1, (3, 3, 3), padding=((1, 1), (1, 1), (1, 1)),
-                       dtype=self.dtype, name="prob")(c)
+        cost = Conv3DKd(1, dtype=self.dtype, use_bias=True, name="prob")(c)
         return cost[..., 0]  # (B, D, H, W)

@@ -54,19 +54,24 @@ def project_to_src(proj_mat: Array, depth_values: Array,
     """
     f32 = jnp.float32
     proj_mat = proj_mat.astype(f32)
-    depth_values = depth_values.astype(f32)
-    D = depth_values.shape[0]
+    d = depth_values.reshape(depth_values.shape[0],
+                             height * width).astype(f32)      # (D, HW)
     R = proj_mat[:, :3]                               # (3, 3)
     T = proj_mat[:, 3]                                # (3,)
     grid = pixel_grid(height, width, f32)             # (3, H*W)
     rotated = R @ grid                                # (3, H*W)
-    inv_d = 1.0 / depth_values.reshape(D, height * width)  # (D, HW)
-    # src = rotated + T * (1/d): (3, D, HW) without materializing (3, D*HW) twice
-    src = rotated[:, None, :] + T[:, None, None] * inv_d[None, :, :]
-    z = src[2]
-    behind = z <= 1e-7
-    x = jnp.where(behind, f32(width), src[0] / jnp.where(behind, 1.0, z))
-    y = jnp.where(behind, f32(height), src[1] / jnp.where(behind, 1.0, z))
+    # q = R@p + T/d; xy = q01/q2, behind-camera iff q2 <= 1e-7. Multiply
+    # through by d (> 0 after hypothesis clamping): num = (R@p)*d + T gives
+    # the same ratios with ONE reciprocal instead of two divisions and no
+    # (3, D, HW) stack materialization (VPU-bound fusion, measured).
+    nx = rotated[0][None] * d + T[0]                  # (D, HW)
+    ny = rotated[1][None] * d + T[1]
+    nz = rotated[2][None] * d + T[2]
+    behind = nz <= 1e-7 * d                           # == (q2 <= 1e-7)
+    rden = 1.0 / jnp.where(behind, 1.0, nz)
+    x = jnp.where(behind, f32(width), nx * rden)
+    y = jnp.where(behind, f32(height), ny * rden)
+    D = d.shape[0]
     return jnp.stack([x, y], axis=-1).reshape(D, height, width, 2)
 
 
@@ -164,8 +169,11 @@ def resize_bilinear(x: Array, out_hw: tuple[int, int]) -> Array:
         return x
     wy = jnp.asarray(_resize_weights(h, out_h), x.dtype)   # (out_h, h)
     wx = jnp.asarray(_resize_weights(w, out_w), x.dtype)   # (out_w, w)
-    # full precision: this interpolates depth maps, bf16 matmul would bias them
-    hi = jax.lax.Precision.HIGHEST
+    # float32 inputs (depth maps) keep full MXU precision; bfloat16 feature
+    # maps use the native bf16 MXU path — HIGHEST on bf16 would trigger the
+    # multi-pass f32-emulation and dominate FeatureNet time
+    hi = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+          else jax.lax.Precision.DEFAULT)
     x = jnp.einsum("oh,...hwc->...owc", wy, x, precision=hi)
     x = jnp.einsum("ow,...hwc->...hoc", wx, x, precision=hi)
     return x

@@ -158,7 +158,11 @@ def grid_sample_quad(feat_quad: Array, xy: Array, height: int,
     if batched:
         idx = idx + (jnp.arange(B, dtype=jnp.int32) * (Hq * Wq))[:, None]
     rows = jnp.take(flat, idx.reshape(-1), axis=0)           # (B*N, 4C)
-    w = jnp.stack([w00, w01, w10, w11], axis=-1)             # (B, N, 4)
-    w = w.reshape(-1, 4).astype(feat_quad.dtype)
-    out = jnp.einsum("nqc,nq->nc", rows.reshape(-1, 4, C), w)
+    # Weighted 4-tap reduction via static lane slices of the gathered rows
+    # (fastest of einsum / lane-slice / matmul variants measured on v5e;
+    # (N, 4)/(N, 4, C)-shaped intermediates waste the 128 lanes).
+    dtype = feat_quad.dtype
+    taps = (w00, w01, w10, w11)
+    out = sum(rows[:, q * C:(q + 1) * C]
+              * taps[q].reshape(-1, 1).astype(dtype) for q in range(4))
     return out.reshape(out_shape)

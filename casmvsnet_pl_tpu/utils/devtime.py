@@ -21,9 +21,12 @@ def _loop_fn(fn, n_args):
             out = fn(*args)
             leaves = jax.tree.leaves(out)
             s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-            # serialize: fold a vanishing function of the output into arg 0
-            eps = (s * 1e-38).astype(args[0].dtype)
-            args = (args[0] + eps,) + tuple(args[1:])
+            # serialize: fold a vanishing function of the output into the
+            # first leaf of arg 0 (arg 0 may be a pytree, e.g. params)
+            a0_leaves, a0_def = jax.tree.flatten(args[0])
+            eps = (s * 1e-38).astype(a0_leaves[0].dtype)
+            a0_leaves[0] = a0_leaves[0] + eps
+            args = (jax.tree.unflatten(a0_def, a0_leaves),) + tuple(args[1:])
             return (args, acc + s)
         _, acc = jax.lax.fori_loop(0, iters, body, (args, jnp.float32(0)))
         return acc
