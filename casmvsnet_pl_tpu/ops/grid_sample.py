@@ -158,9 +158,14 @@ def grid_sample_quad(feat_quad: Array, xy: Array, height: int,
     if batched:
         idx = idx + (jnp.arange(B, dtype=jnp.int32) * (Hq * Wq))[:, None]
     rows = jnp.take(flat, idx.reshape(-1), axis=0)           # (B*N, 4C)
-    # Weighted 4-tap reduction via static lane slices of the gathered rows
-    # (fastest of einsum / lane-slice / matmul variants measured on v5e;
-    # (N, 4)/(N, 4, C)-shaped intermediates waste the 128 lanes).
+    # Weighted 4-tap reduction via static lane slices. XLA lowers the
+    # cross-lane-group combine through a transposed copy + while loop
+    # (~7.6 ms per 2.6M-sample view); every alternative measured WORSE on
+    # v5e: einsum (same lowering), per-tap matmul vs a 0/1 selection matrix
+    # (5x), channel-interleaved packing + minor-dim reduce (1.6x), and a
+    # hand-written Pallas kernel (kernels/tap_reduce.py, 2.5x end-to-end —
+    # the (N-sublane x C-lane)/(per-sample scalar) layout mismatch costs
+    # more inside the kernel than XLA's transpose does).
     dtype = feat_quad.dtype
     taps = (w00, w01, w10, w11)
     out = sum(rows[:, q * C:(q + 1) * C]
