@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.conv3d import conv3x3x3, conv_transpose3x3x3_s2
+from ..ops.conv3d import (conv3x3x3, conv3x3x3_folded, conv_transpose3x3x3_s2,
+                          conv_transpose3x3x3_s2_folded)
 
 Dtype = Any
 
@@ -52,6 +53,114 @@ class Conv3DKd(nn.Module):
                               (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)
         return y
+
+
+class FoldedBatchNorm(nn.Module):
+    """BatchNorm over a D-folded volume (B, H, W, D*C), exactly equivalent
+    to nn.BatchNorm on the unfolded (B, D, H, W, C): batch statistics pool
+    over the D groups, running stats / scale / bias are per real channel C.
+    Parameter and batch_stats structure matches nn.BatchNorm (scale, bias,
+    mean, var of shape (C,)) so checkpoints are interchangeable.
+    """
+    features: int            # real channel count C
+    d_size: int              # folded depth D
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, xf: jax.Array, train: bool = False) -> jax.Array:
+        C, D = self.features, self.d_size
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if train:
+            xf32 = xf.astype(jnp.float32)
+            # per-(d, c) moments over (B, H, W), then pool over d (equal
+            # counts => plain mean of means / mean of second moments)
+            m_dc = jnp.mean(xf32, axis=(0, 1, 2)).reshape(D, C)
+            m2_dc = jnp.mean(xf32 * xf32, axis=(0, 1, 2)).reshape(D, C)
+            mean = jnp.mean(m_dc, axis=0)
+            m2 = jnp.mean(m2_dc, axis=0)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                m2 = jax.lax.pmean(m2, self.axis_name)
+            var = m2 - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (BN_MOMENTUM * ra_mean.value
+                                 + (1 - BN_MOMENTUM) * mean)
+                ra_var.value = (BN_MOMENTUM * ra_var.value
+                                + (1 - BN_MOMENTUM) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = scale * jax.lax.rsqrt(var + BN_EPS)
+        shift = bias - mean * inv
+        inv_f = jnp.tile(inv, D).astype(xf.dtype)            # (D*C,)
+        shift_f = jnp.tile(shift, D).astype(xf.dtype)
+        return xf * inv_f + shift_f
+
+
+class _FoldedConv3D(nn.Module):
+    """Bare folded 3x3x3 conv; param 'kernel' matches nn.Conv's (3,3,3,Ci,Co)."""
+    features: int
+    d_size: int
+    stride: int = 1
+    transpose: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf: jax.Array) -> jax.Array:
+        in_ch = xf.shape[-1] // self.d_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, in_ch, self.features), jnp.float32)
+        xf = xf.astype(self.dtype)
+        if self.transpose:
+            return conv_transpose3x3x3_s2_folded(xf, kernel, self.d_size)
+        return conv3x3x3_folded(xf, kernel, self.d_size, self.stride)
+
+
+class ConvBnActFolded(nn.Module):
+    """D-folded ConvBnAct: 3x3x3 conv (stride 1|2) + BN + leaky_relu on a
+    (B, H, W, D*C) volume. Parameter tree matches ConvBnAct(dims=3)
+    ({conv: {kernel}, bn: {scale, bias}} + batch_stats {bn: {mean, var}})."""
+    features: int
+    d_size: int              # input D
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, xf: jax.Array, train: bool = False) -> jax.Array:
+        d_out = (self.d_size + self.stride - 1) // self.stride
+        y = _FoldedConv3D(self.features, self.d_size, self.stride,
+                          dtype=self.dtype, name="conv")(xf)
+        y = FoldedBatchNorm(self.features, d_out, dtype=self.dtype,
+                            axis_name=self.axis_name if train else None,
+                            name="bn")(y, train)
+        return nn.leaky_relu(y, LEAKY_SLOPE)
+
+
+class ConvTransposeBnActFolded(nn.Module):
+    """D-folded transposed-conv block; param tree matches
+    ConvTransposeBnAct3D ({kernel, bn: {...}})."""
+    features: int
+    d_size: int              # input D (output is 2*D)
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, xf: jax.Array, train: bool = False) -> jax.Array:
+        in_ch = xf.shape[-1] // self.d_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, in_ch, self.features), jnp.float32)
+        y = conv_transpose3x3x3_s2_folded(xf.astype(self.dtype), kernel,
+                                          self.d_size)
+        y = FoldedBatchNorm(self.features, 2 * self.d_size, dtype=self.dtype,
+                            axis_name=self.axis_name if train else None,
+                            name="bn")(y, train)
+        return nn.leaky_relu(y, LEAKY_SLOPE)
 
 
 class ConvBnAct(nn.Module):

@@ -25,7 +25,7 @@ from flax import linen as nn
 from ..ops.geometry import (depth_regression, get_depth_values,
                             initial_depth_values, resize_bilinear)
 from ..ops.plane_sweep import build_cost_volume
-from .cost_reg import CostRegNet
+from .cost_reg import CostRegNet, CostRegNetFolded
 from .feature_net import FeatureNet
 
 Array = jax.Array
@@ -67,9 +67,16 @@ class CascadeMVSNet(nn.Module):
         assert len(self.n_depths) == self.levels
         assert len(self.interval_ratios) == self.levels
         self.feature = FeatureNet(dtype=self.dtype, axis_name=self.axis_name)
-        self.cost_regs = [CostRegNet(dtype=self.dtype, axis_name=self.axis_name,
-                                     name=f"cost_reg_{l}")
-                          for l in range(self.levels)]
+        # The regularizer runs in D-folded layout whenever the depth count
+        # allows (D divisible by 8): parameter-compatible with CostRegNet
+        # and 1.6-5.4x faster on TPU at the default 8/32/48 depths — the
+        # banded-dense FLOP inflation is cheaper than idling MXU lanes
+        # (see CostRegNetFolded docstring).
+        self.cost_regs = [
+            (CostRegNetFolded if self.n_depths[l] % 8 == 0 else CostRegNet)(
+                dtype=self.dtype, axis_name=self.axis_name,
+                name=f"cost_reg_{l}")
+            for l in range(self.levels)]
 
     def _predict_depth(self, feats: Array, proj_mats: Array,
                        depth_values: Array, level: int,
