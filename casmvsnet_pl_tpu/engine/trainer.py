@@ -24,7 +24,8 @@ import optax
 from ..losses import sl1_loss
 from ..metrics import abs_error_mean, acc_threshold_mean, metric_sums
 from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
-from ..utils.checkpoints import TopKCheckpointManager, save_checkpoint
+from ..utils.checkpoints import (TopKCheckpointManager, load_checkpoint,
+                                 save_checkpoint)
 from ..utils.optimizers import (OptimConfig, make_lr_schedule, make_optimizer,
                                 unwrap_params_for, wrap_params_for)
 from .state import TrainState
@@ -68,6 +69,30 @@ class MVSTrainer:
     def model_params(self, state: TrainState):
         """Parameters for inference (slow weights when using ranger)."""
         return unwrap_params_for(self.cfg, state.params)
+
+    def restore_state(self, path: str, sample_batch: dict,
+                      seed: int = 0) -> TrainState:
+        """Full training resume: params + batch_stats + optimizer state +
+        step from a checkpoint written by fit()/TopKCheckpointManager.
+
+        (The reference only restores weights — /root/reference/utils/
+        __init__.py:52-80; optimizer-state resume is an upgrade.)
+        """
+        from flax import serialization
+
+        from .state import TrainState as TS
+        template = self.init_state(sample_batch, seed)
+        ckpt = load_checkpoint(path)
+        params = wrap_params_for(
+            self.cfg, jax.tree.map(jnp.asarray, ckpt["params"]))
+        opt_state = serialization.from_state_dict(template.opt_state,
+                                                  ckpt["opt_state"])
+        state = TS.create(params,
+                          jax.tree.map(jnp.asarray, ckpt["batch_stats"]),
+                          jax.tree.map(jnp.asarray, opt_state))
+        state = state.replace(step=jnp.asarray(int(ckpt["step"]),
+                                               jnp.int32))
+        return jax.device_put(state, replicated_sharding(self.mesh))
 
     # -- compiled steps ----------------------------------------------------
     def _build_steps(self):

@@ -44,6 +44,10 @@ def get_opts(argv=None):
 
     parser.add_argument('--ckpt_path', type=str, default='',
                         help='pretrained checkpoint path to load')
+    parser.add_argument('--resume_path', type=str, default='',
+                        help='checkpoint to FULLY resume from (params + '
+                             'batch stats + optimizer state + step); the '
+                             'reference can only warm-start weights')
     parser.add_argument('--prefixes_to_ignore', nargs='+', type=str,
                         default=['loss'],
                         help='prefixes to ignore in the checkpoint')

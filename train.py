@@ -67,7 +67,12 @@ def main(hparams):
 
     from casmvsnet_pl_tpu.data.loader import collate
     sample = collate([train_ds[0] for _ in range(hparams.batch_size)])
-    state = trainer.init_state(sample, seed=hparams.seed)
+    if hparams.resume_path:
+        print("Resume full training state from", hparams.resume_path)
+        state = trainer.restore_state(hparams.resume_path, sample,
+                                      seed=hparams.seed)
+    else:
+        state = trainer.init_state(sample, seed=hparams.seed)
 
     n_params = sum(int(p.size) for p in
                    jax.tree.leaves(trainer.model_params(state)))
