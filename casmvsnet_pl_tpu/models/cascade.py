@@ -59,13 +59,24 @@ class CascadeMVSNet(nn.Module):
     num_groups: int = 1
     dtype: Any = jnp.float32
     axis_name: str | None = None
-    remat: bool = True
+    # rematerialize the per-view warp in the backward pass. Off by default:
+    # at the reference training config the stored warped volumes are well
+    # within v5e HBM and remat costs ~14% step time re-gathering (the warp
+    # recompute is gather-bound, not flop-bound). Turn on for very large
+    # inference-resolution training or small-memory chips.
+    remat: bool = False
 
     levels: int = 3
 
     def setup(self):
         assert len(self.n_depths) == self.levels
         assert len(self.interval_ratios) == self.levels
+        for d in self.n_depths:
+            # three stride-2 stages in CostRegNet (same architecture
+            # constraint as the reference, which only ever uses 8/32/48)
+            assert d % 8 == 0, (
+                f"n_depths must be divisible by 8 (got {self.n_depths}): "
+                "the cost regularizer downsamples the depth axis 3x by 2")
         self.feature = FeatureNet(dtype=self.dtype, axis_name=self.axis_name)
         # The regularizer runs in D-folded layout whenever the depth count
         # allows (D divisible by 8): parameter-compatible with CostRegNet

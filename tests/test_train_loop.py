@@ -105,5 +105,9 @@ def test_data_parallel_matches_single_device(setup):
         # bug (per-shard BN, missing all-reduce, wrong loss scaling) shows up
         # as O(1) relative error here.
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
-        assert rel < 3e-3, f"param leaf rel L2 diff {rel:.2e}"
+        # relative with an absolute floor: zero-initialized leaves (e.g.
+        # prob/bias) hold -lr*grad after one step where grad is ~1e-6 noise,
+        # making a pure relative check meaningless
+        err = np.linalg.norm(a - b)
+        tol = 3e-3 * np.linalg.norm(a) + 1e-4 * np.sqrt(a.size)
+        assert err < tol, f"param leaf diff {err:.2e} > tol {tol:.2e}"
