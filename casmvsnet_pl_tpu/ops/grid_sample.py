@@ -171,3 +171,36 @@ def grid_sample_quad(feat_quad: Array, xy: Array, height: int,
     out = sum(rows[:, q * C:(q + 1) * C]
               * taps[q].reshape(-1, 1).astype(dtype) for q in range(4))
     return out.reshape(out_shape)
+
+
+def quad_weights(xy: Array, height: int, width: int):
+    """Tap weights + clamped quad-cell floor indices for pack_quad sampling.
+
+    xy: (..., 2) pixel coords -> (w4 (..., 4) float32, y0i, x0i int32 clamped
+    into the padded (H+1, W+1) grid). Weight order matches pack_quad's
+    channel blocks: (y0x0, y0x1, y1x0, y1x1); out-of-image taps get weight 0
+    (identical semantics to grid_sample / torch zeros padding).
+    """
+    xy = xy.astype(jnp.float32)
+    x, y = xy[..., 0], xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    v_x0 = (x0 >= 0) & (x0 < width)
+    v_x1 = (x0 + 1 >= 0) & (x0 + 1 < width)
+    v_y0 = (y0 >= 0) & (y0 < height)
+    v_y1 = (y0 + 1 >= 0) & (y0 + 1 < height)
+    w4 = jnp.stack([
+        jnp.where(v_y0 & v_x0, wy0 * wx0, 0.0),
+        jnp.where(v_y0 & v_x1, wy0 * wx1, 0.0),
+        jnp.where(v_y1 & v_x0, wy1 * wx0, 0.0),
+        jnp.where(v_y1 & v_x1, wy1 * wx1, 0.0),
+    ], axis=-1)
+    # clip into the padded (H+1, W+1) quad grid; far out-of-range coords land
+    # on zero guard rows AND carry zero weights, so clamping never aliases.
+    x0i = jnp.clip(x0.astype(jnp.int32) + 1, 0, width)
+    y0i = jnp.clip(y0.astype(jnp.int32) + 1, 0, height)
+    return w4, y0i, x0i

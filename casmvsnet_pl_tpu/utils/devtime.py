@@ -21,12 +21,19 @@ def _loop_fn(fn, n_args):
             out = fn(*args)
             leaves = jax.tree.leaves(out)
             s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-            # serialize: fold a vanishing function of the output into the
-            # first leaf of arg 0 (arg 0 may be a pytree, e.g. params)
-            a0_leaves, a0_def = jax.tree.flatten(args[0])
-            eps = (s * 1e-38).astype(a0_leaves[0].dtype)
-            a0_leaves[0] = a0_leaves[0] + eps
-            args = (jax.tree.unflatten(a0_def, a0_leaves),) + tuple(args[1:])
+            # Serialize: fold a vanishing function of the output into EVERY
+            # float leaf of EVERY arg. Perturbing only one leaf lets XLA
+            # hoist all compute that doesn't depend on it out of the loop
+            # (e.g. a whole model when arg 0 is a params pytree whose first
+            # leaf is some deep layer's bias) — measured 30x-low that way.
+            a_leaves, a_def = jax.tree.flatten(args)
+            eps32 = s * 1e-38
+            a_leaves = [
+                l + eps32.astype(l.dtype)
+                if jnp.issubdtype(l.dtype, jnp.floating) else l
+                for l in a_leaves
+            ]
+            args = jax.tree.unflatten(a_def, a_leaves)
             return (args, acc + s)
         _, acc = jax.lax.fori_loop(0, iters, body, (args, jnp.float32(0)))
         return acc
