@@ -65,6 +65,12 @@ class CascadeMVSNet(nn.Module):
     # recompute is gather-bound, not flop-bound). Turn on for very large
     # inference-resolution training or small-memory chips.
     remat: bool = False
+    # plane-sweep sampling strategy: "auto"/"quad" = one gather row per
+    # (pixel, depth, view) — exact and fastest on v5e; "window" = shared
+    # strip-window gathers per depth group (fewer gather rows, wider
+    # epilogue; measured slower on v5e, see ops/plane_sweep.py, but the
+    # trade is hardware-dependent so it stays selectable).
+    sampling: str = "auto"
 
     levels: int = 3
 
@@ -98,7 +104,8 @@ class CascadeMVSNet(nn.Module):
         depth_values: (B, D, h, w). Returns depth (B, h, w), confidence (B, h, w).
         """
         volume = build_cost_volume(feats, proj_mats, depth_values,
-                                   groups=self.num_groups, remat=self.remat)
+                                   groups=self.num_groups, remat=self.remat,
+                                   sampling=self.sampling)
         cost = self.cost_regs[level](volume, train)           # (B, D, h, w)
         prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
         depth = depth_regression(prob, depth_values)

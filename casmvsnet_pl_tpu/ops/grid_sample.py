@@ -19,10 +19,42 @@ lives in ``ops.plane_sweep`` and uses this as its reference implementation.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
+
+
+@functools.lru_cache(maxsize=32)
+def _patch_kernel(kh: int, kw: int, C: int):
+    """One-hot (kh, kw, C, kh*kw*C) HWIO kernel: out[l= (dy*kw+dx)*C + c]
+    = in[y+dy, x+dx, c]. Patch extraction as a convolution: lane-offset
+    concatenation of shifted slices lowers to masked sub-128-lane stores
+    (~26 ms for a 16-strip 512x640 table on v5e) while the identity conv
+    runs on the MXU in well under a millisecond, exactly (0/1 weights)."""
+    k = np.zeros((kh, kw, C, kh * kw * C), np.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            for c in range(C):
+                k[dy, dx, c, (dy * kw + dx) * C + c] = 1.0
+    return k
+
+
+def _extract_patches(padded: Array, kh: int, kw: int) -> Array:
+    """(B, Hp, Wp, C) -> (B, Hp-kh+1, Wp-kw+1, kh*kw*C) via one-hot conv.
+
+    Exact in any dtype: each output lane sums exactly one 1.0*value term.
+    (No preferred_element_type: it would make the transpose/VJP conv mix
+    f32 cotangents with the bf16 kernel, which lax.conv rejects.)
+    """
+    C = padded.shape[-1]
+    kern = jnp.asarray(_patch_kernel(kh, kw, C), padded.dtype)
+    return jax.lax.conv_general_dilated(
+        padded, kern, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def grid_sample(feat: Array, xy: Array) -> Array:
@@ -92,15 +124,11 @@ def pack_quad(feat: Array) -> Array:
     x0 = -1 (coordinates in [-1, 0)) resolve in-bounds. Out-of-image taps
     are zero, preserving the reference's zeros padding semantics.
     """
-    H, W, C = feat.shape
-    # pad: 1 guard before (for floor = -1) and 2 after (floor = H-1 needs
-    # y0+1 = H, and the guard row y0 = H itself for clamped far coords)
-    p = jnp.pad(feat, ((1, 2), (1, 2), (0, 0)))
-    q00 = p[:H + 1, :W + 1]          # (y0, x0)
-    q01 = p[:H + 1, 1:W + 2]         # (y0, x0+1)
-    q10 = p[1:H + 2, :W + 1]         # (y0+1, x0)
-    q11 = p[1:H + 2, 1:W + 2]        # (y0+1, x0+1)
-    return jnp.concatenate([q00, q01, q10, q11], axis=-1)  # (H+1, W+1, 4C)
+    # pad: 1 guard before (for floor = -1) and 1 after (floor = H-1 needs
+    # y0+1 = H); the one-hot 2x2 patch conv yields lanes ordered
+    # (q00, q01, q10, q11) * C, matching quad_weights' block order.
+    p = jnp.pad(feat, ((1, 1), (1, 1), (0, 0)))
+    return _extract_patches(p[None], 2, 2)[0]  # (H+1, W+1, 4C)
 
 
 def grid_sample_quad(feat_quad: Array, xy: Array, height: int,
@@ -171,6 +199,23 @@ def grid_sample_quad(feat_quad: Array, xy: Array, height: int,
     out = sum(rows[:, q * C:(q + 1) * C]
               * taps[q].reshape(-1, 1).astype(dtype) for q in range(4))
     return out.reshape(out_shape)
+
+
+def pack_strips(feat: Array, strip_w: int, window_h: int) -> Array:
+    """(H, W, C) -> (H+window_h, W+1, strip_w*C) horizontal-strip table.
+
+    Entry [yi, xi] holds the strip feat[yi-1, xi-1 : xi-1+strip_w, :] with
+    zero padding outside the image (one guard row/col before for floor = -1
+    coords, window_h-1 / strip_w-1 after). One gathered row then provides
+    taps for every sample whose x support lies within the strip, so a
+    window_h-row gather covers ALL depth hypotheses of a plane-sweep group
+    in window_h rows instead of one quad row per (pixel, depth) — the
+    gather engine charges per row, and 128-lane rows keep the fast rate
+    even from tables this size (scripts/probe_window.py: 2.4 ns/row at
+    85 MB; >128-lane rows collapse to ~13 ns/row).
+    """
+    p = jnp.pad(feat, ((1, window_h - 1), (1, strip_w - 1), (0, 0)))
+    return _extract_patches(p[None], 1, strip_w)[0]
 
 
 def quad_weights(xy: Array, height: int, width: int):

@@ -13,6 +13,18 @@ scripts/probe_warp_cost.py, probe_l0_variants.py, probe_epi3.py, probe_epi4.py)
 * Sampling uses the packed-quad single-row-gather (ops/grid_sample.py): the
   TPU gather engine charges ~2.5 ns per ROW independent of width 8..128
   lanes, so one 4C-wide gather beats four C-wide tap gathers ~4x.
+* An opt-in WINDOW sampling mode (sampling="window") shares one
+  window_h x strip_w gathered window across a group of depth hypotheses
+  where strip_w*C <= 128 lanes — 2.6x fewer gather rows at the finest
+  level, and rows of <= 128 lanes keep the fast ~2.4 ns rate even from
+  85 MB strip tables (scripts/probe_window.py; wider rows collapse ~5x).
+  It still measured SLOWER end-to-end on v5e (55 vs 40 ms) because the
+  4x-wider per-sample epilogue outweighs the gather saving — so "auto"
+  resolves to quad; see _resolve_sampling.
+* Sampling tables (quad and strip) are built by a one-hot patch-extraction
+  CONVOLUTION on the MXU — lane-offset concats of shifted slices lower to
+  masked sub-128-lane stores and cost ~26 ms per 512x640 strip table vs
+  ~1 ms for the conv (scripts/probe_win_ablate.py).
 * The gather rate cliffs ~4-5x when the (batch-folded) quad table exceeds
   the VMEM-stageable size: tables up to ~21 MB run at 2.3-3 ns/row, a 42 MB
   table at ~12 ns/row. Levels whose folded table passes ``_FOLD_LIMIT``
@@ -47,7 +59,7 @@ import numpy as np
 
 from .geometry import project_to_src
 from .grid_sample import (grid_sample, grid_sample_quad, pack_quad,
-                          quad_weights)
+                          pack_strips, quad_weights)
 
 Array = jax.Array
 
@@ -134,17 +146,17 @@ def _gather_view(src_quad: Array, proj_mat: Array, depth_values: Array,
     return rows, w4.reshape(B, -1, 4)
 
 
-@functools.lru_cache(maxsize=16)
-def _lane_masks(C: int):
-    """Constant (4C,) one-hot-block masks, one per tap."""
-    eye = np.eye(4, dtype=np.float32)
-    return tuple(np.repeat(eye[q], C) for q in range(4))
+@functools.lru_cache(maxsize=32)
+def _lane_masks(C: int, blocks: int = 4):
+    """Constant (blocks*C,) one-hot-block masks, one per tap block."""
+    eye = np.eye(blocks, dtype=np.float32)
+    return tuple(np.repeat(eye[q], C) for q in range(blocks))
 
 
-@functools.lru_cache(maxsize=16)
-def _identity_stack(C: int):
-    """(4C, C) vertical stack of four identity matrices (host constant)."""
-    return np.tile(np.eye(C, dtype=np.float32), (4, 1))
+@functools.lru_cache(maxsize=32)
+def _identity_stack(C: int, blocks: int = 4):
+    """(blocks*C, C) vertical stack of identity matrices (host constant)."""
+    return np.tile(np.eye(C, dtype=np.float32), (blocks, 1))
 
 
 def _tap_reduce(rows: Array, w4: Array) -> Array:
@@ -172,6 +184,109 @@ def _tap_reduce(rows: Array, w4: Array) -> Array:
         preferred_element_type=jnp.float32)
 
 
+def window_config(C: int, D: int, window_h: int = 4):
+    """Static windowed-sampling config for a level, or None if infeasible.
+
+    Windowed sampling packs a strip_w-pixel horizontal strip per table row
+    (strip_w * C must fit the 128-lane fast-gather width) and shares one
+    window_h x strip_w window across a group of consecutive depth
+    hypotheses. Feasible only for levels with C <= 8 — in the reference
+    architecture that is exactly the finest cascade level, where the
+    hypothesis spacing is sub-pixel by design so a group's samples fit one
+    window (/root/reference/models/mvsnet.py:231-235 recenters level-0
+    hypotheses in a narrow band around the upsampled coarser depth).
+    """
+    if C > 8:
+        return None
+    group = min(D, 8)
+    if D % group:
+        return None
+    return {"strip_w": min(16, 128 // C), "window_h": window_h,
+            "depth_group": group}
+
+
+def _window_view(src_strips: Array, proj_mat: Array, depth_values: Array,
+                 height: int, width: int, strip_w: int, window_h: int,
+                 depth_group: int) -> Array:
+    """Warp + bilinear-sample one source view via shared window gathers.
+
+    One window of window_h gathered strip rows serves a whole group of
+    depth_group consecutive hypotheses: the window origin is the floor of
+    the group's min (valid) sample coordinate, and each sample's bilinear
+    weights are evaluated as hat functions on the window grid — EXACTLY
+    bilinear (4 nonzero taps) whenever the group's sample span fits the
+    window (x-span <= strip_w - 2, y-span <= window_h - 2). Out-of-image
+    taps read the table's zero padding, matching grid_sample's zeros
+    padding; samples fully outside get all-zero weights. Samples whose
+    support exceeds the window (larger-than-designed camera motion) clamp
+    to the window edge — a bounded, local approximation; use quad sampling
+    where that is unacceptable.
+
+    src_strips: (B, H+window_h, W+1, strip_w*C) from pack_strips;
+    proj_mat: (B, 3, 4); depth_values: (B, D, H, W).
+    Returns (B, D, H*W, C) float32 sampled features.
+    """
+    B, Ht, Wt, SC = src_strips.shape
+    C = SC // strip_w
+    D = depth_values.shape[1]
+    ng = D // depth_group
+    hw = height * width
+    dtype = src_strips.dtype
+
+    coords = jax.vmap(
+        lambda p, d: project_to_src(p, d, height, width))(proj_mat,
+                                                          depth_values)
+    x = coords[..., 0].astype(jnp.float32).reshape(B, ng, depth_group, hw)
+    y = coords[..., 1].astype(jnp.float32).reshape(B, ng, depth_group, hw)
+    valid = ((x > -1.0) & (x < float(width)) &
+             (y > -1.0) & (y < float(height)))
+    # Window origin from the group's min VALID coordinate (invalid samples
+    # would drag the window off the real support; they contribute zero
+    # regardless via the weight mask below).
+    big = jnp.float32(1e9)
+    minx = jnp.min(jnp.where(valid, x, big), axis=2)          # (B, ng, hw)
+    miny = jnp.min(jnp.where(valid, y, big), axis=2)
+    x_org = jnp.clip(jnp.floor(minx), -1.0, width - 1.0)
+    y_org = jnp.clip(jnp.floor(miny), -1.0, height - 1.0)
+    xi = x_org.astype(jnp.int32) + 1                          # [0, W]
+    yi = y_org.astype(jnp.int32) + 1
+
+    # window_h gathers per group; tables are large by construction, so
+    # gathers are unrolled per batch element (fast-rate regime).
+    flat = src_strips.reshape(B, Ht * Wt, SC)
+    rows = []
+    for j in range(window_h):
+        idx = (yi + j) * Wt + xi                              # (B, ng, hw)
+        r = jnp.stack([jnp.take(flat[b], idx[b].reshape(-1), axis=0)
+                       for b in range(B)])
+        rows.append(r.reshape(B, ng, 1, hw, SC))
+
+    fx1 = jnp.clip(x - x_org[:, :, None, :], 0.0, strip_w - 1.0)[..., None]
+    fy1 = jnp.clip(y - y_org[:, :, None, :], 0.0, window_h - 1.0)[..., None]
+    vm1 = valid.astype(jnp.float32)[..., None]
+
+    # Full per-row-j lane weights built ONLY from (..., 1) per-sample
+    # scalars broadcast against a CONSTANT lane iota (the fast pattern —
+    # per-sample scalars multiplied into gathered DATA lanes lower through
+    # a transposed copy + while loop and cost 3x, scripts/probe_wi).
+    # hat(fx - k) * hat(fy - j) reproduces exact bilinear: 4 nonzero taps.
+    # The x-hat lane expansion is shared across window rows; each row adds
+    # only one (..., 1)-scalar y-hat multiply.
+    kl = jnp.asarray(np.repeat(np.arange(strip_w, dtype=np.float32), C))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx1 - kl)) * vm1
+    prod = None
+    for j in range(window_h):
+        w_j = wx * jnp.maximum(0.0, 1.0 - jnp.abs(fy1 - j))
+        term = rows[j] * w_j.astype(dtype)     # (B, ng, Gd, hw, SC)
+        prod = term if prod is None else prod + term
+    kmat = jnp.asarray(_identity_stack(C, strip_w), dtype)
+    o = jax.lax.dot_general(
+        prod.reshape(B, D * hw, SC), kmat,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return o.reshape(B, D, hw, C)
+
+
 @functools.lru_cache(maxsize=16)
 def _group_mean_matrix(C: int, groups: int):
     """(C, G) matrix averaging channels within each group (host constant)."""
@@ -182,9 +297,53 @@ def _group_mean_matrix(C: int, groups: int):
     return m
 
 
+def _resolve_sampling(sampling, C: int, D: int):
+    """Map a sampling mode string to a window config (None = quad path).
+
+    "auto" currently resolves to quad everywhere: at the one level where
+    window sampling is lane-feasible (the finest, C=8) it measured SLOWER
+    end-to-end on v5e (55 vs 40 ms, scripts/probe_window_integrated.py) —
+    the 4x-wider per-sample epilogue (128 gathered lanes weighted on the
+    VPU vs the quad path's 32) costs more than the 2.6x gather-row saving
+    returns. Kept as an explicit opt-in: on hardware with a different
+    gather/VPU cost ratio the trade flips.
+    """
+    if sampling in ("quad", "auto"):
+        return None
+    cfg = window_config(C, D)
+    if cfg is None:
+        raise ValueError(
+            f"windowed sampling infeasible for C={C}, D={D} "
+            f"(needs C <= 8 and D divisible into groups of <= 8)")
+    return cfg
+
+
+def _pack_tables(srcs: Array, cfg):
+    """Per-view sampling tables: strip tables (window cfg) or quad volumes."""
+    if cfg is None:
+        return jax.vmap(jax.vmap(pack_quad))(srcs)
+    return jax.vmap(jax.vmap(
+        lambda f: pack_strips(f, cfg["strip_w"], cfg["window_h"])))(srcs)
+
+
+def _sample_view(tables_v: Array, proj_mat_v: Array, depth_values: Array,
+                 height: int, width: int, cfg) -> Array:
+    """Warped features of one source view: (B, D, H*W, C) float32."""
+    if cfg is None:
+        rows, w4 = _gather_view(tables_v, proj_mat_v, depth_values,
+                                height, width)
+        B = tables_v.shape[0]
+        D = depth_values.shape[1]
+        C = tables_v.shape[-1] // 4
+        return _tap_reduce(rows, w4).reshape(B, D, height * width, C)
+    return _window_view(tables_v, proj_mat_v, depth_values, height, width,
+                        cfg["strip_w"], cfg["window_h"], cfg["depth_group"])
+
+
 def batched_variance_cost_volume(feats: Array, proj_mats: Array,
                                  depth_values: Array,
-                                 remat: bool = True) -> Array:
+                                 remat: bool = True,
+                                 sampling: str = "auto") -> Array:
     """Variance cost volume over V views: E[f^2] - E[f]^2, batch-native.
 
     The reference view participates as an un-warped volume broadcast over
@@ -192,21 +351,24 @@ def batched_variance_cost_volume(feats: Array, proj_mats: Array,
 
     feats: (B, V, H, W, C); proj_mats: (B, V-1, 3, 4);
     depth_values: (B, D, H, W) -> (B, D, H, W, C).
+    sampling: "quad" (exact, one gather row per sample), "window" (shared
+    window gathers, 3-5x fewer rows, exact while group spans fit the
+    window), or "auto" (window where feasible).
     """
     B, V, H, W, C = feats.shape
     D = depth_values.shape[1]
     dtype = feats.dtype
     ref, srcs = feats[:, 0], feats[:, 1:]
-    src_quads = jax.vmap(jax.vmap(pack_quad))(srcs)
+    cfg = _resolve_sampling(sampling, C, D)
+    tables = _pack_tables(srcs, cfg)
 
-    def build(src_quads, proj_mats, depth_values, ref):
+    def build(tables, proj_mats, depth_values, ref):
         reff = ref.reshape(B, 1, H * W, C).astype(jnp.float32)
         s = jnp.broadcast_to(reff, (B, D, H * W, C))
         sq = s * s
         for v in range(V - 1):
-            rows, w4 = _gather_view(src_quads[:, v], proj_mats[:, v],
-                                    depth_values, H, W)
-            o = _tap_reduce(rows, w4).reshape(B, D, H * W, C)
+            o = _sample_view(tables[:, v], proj_mats[:, v], depth_values,
+                             H, W, cfg)
             s = s + o
             sq = sq + o * o
         var = sq / V - (s / V) ** 2
@@ -214,12 +376,13 @@ def batched_variance_cost_volume(feats: Array, proj_mats: Array,
 
     if remat:
         build = jax.checkpoint(build)
-    return build(src_quads, proj_mats, depth_values, ref)
+    return build(tables, proj_mats, depth_values, ref)
 
 
 def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
                                   depth_values: Array, groups: int,
-                                  remat: bool = True) -> Array:
+                                  remat: bool = True,
+                                  sampling: str = "auto") -> Array:
     """Groupwise-correlation cost volume, batch-native.
 
     sim_g = mean_{c in group g}(warped_c * ref_c), summed over source views
@@ -233,16 +396,16 @@ def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
     D = depth_values.shape[1]
     dtype = feats.dtype
     ref, srcs = feats[:, 0], feats[:, 1:]
-    src_quads = jax.vmap(jax.vmap(pack_quad))(srcs)
+    cfg = _resolve_sampling(sampling, C, D)
+    tables = _pack_tables(srcs, cfg)
 
-    def build(src_quads, proj_mats, depth_values, ref):
+    def build(tables, proj_mats, depth_values, ref):
         reff = ref.reshape(B, 1, H * W, C).astype(jnp.float32)
         gm = jnp.asarray(_group_mean_matrix(C, groups))
         acc = jnp.zeros((B, D, H * W, groups), jnp.float32)
         for v in range(V - 1):
-            rows, w4 = _gather_view(src_quads[:, v], proj_mats[:, v],
-                                    depth_values, H, W)
-            o = _tap_reduce(rows, w4).reshape(B, D, H * W, C)
+            o = _sample_view(tables[:, v], proj_mats[:, v], depth_values,
+                             H, W, cfg)
             prod = o * reff
             acc = acc + jax.lax.dot_general(
                 prod, gm, dimension_numbers=(((3,), (0,)), ((), ())),
@@ -252,12 +415,13 @@ def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
 
     if remat:
         build = jax.checkpoint(build)
-    return build(src_quads, proj_mats, depth_values, ref)
+    return build(tables, proj_mats, depth_values, ref)
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "remat"))
+@functools.partial(jax.jit, static_argnames=("groups", "remat", "sampling"))
 def build_cost_volume(feats: Array, proj_mats: Array, depth_values: Array,
-                      groups: int = 1, remat: bool = True) -> Array:
+                      groups: int = 1, remat: bool = True,
+                      sampling: str = "auto") -> Array:
     """Batched cost volume dispatcher.
 
     feats: (B, V, H, W, C); proj_mats: (B, V-1, 3, 4);
@@ -265,6 +429,6 @@ def build_cost_volume(feats: Array, proj_mats: Array, depth_values: Array,
     """
     if groups == 1:
         return batched_variance_cost_volume(feats, proj_mats, depth_values,
-                                            remat)
+                                            remat, sampling)
     return batched_groupwise_cost_volume(feats, proj_mats, depth_values,
-                                         groups, remat)
+                                         groups, remat, sampling)
