@@ -64,12 +64,15 @@ def main():
     import jax
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
+        import sys
         best = 0.0
         for batch in (1, 4):
             try:
                 mps = bench_forward(batch=batch)
-            except Exception:
+            except Exception as e:
+                print(f"bench batch={batch} failed: {e!r}", file=sys.stderr)
                 break
+            print(f"bench batch={batch}: {mps:.2f} maps/s", file=sys.stderr)
             best = max(best, mps)
     else:
         # CPU smoke mode: tiny shapes, not a performance statement

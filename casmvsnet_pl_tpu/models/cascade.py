@@ -84,13 +84,17 @@ class CascadeMVSNet(nn.Module):
                 f"n_depths must be divisible by 8 (got {self.n_depths}): "
                 "the cost regularizer downsamples the depth axis 3x by 2")
         self.feature = FeatureNet(dtype=self.dtype, axis_name=self.axis_name)
-        # The regularizer runs in D-folded layout whenever the depth count
-        # allows (D divisible by 8): parameter-compatible with CostRegNet
-        # and 1.6-5.4x faster on TPU at the default 8/32/48 depths — the
-        # banded-dense FLOP inflation is cheaper than idling MXU lanes
-        # (see CostRegNetFolded docstring).
+        # The regularizer runs in D-folded layout where the depth count
+        # allows it (D divisible by 8) AND the banded-dense FLOP inflation
+        # (D/3x) stays profitable: parameter-compatible with CostRegNet,
+        # folded measures 6.4 vs 22.8 ms at D=8 and 10.2 vs 15.5 at D=32,
+        # but LOSES at D=48 (6.0 vs 5.3 — band fraction 3/48 wastes 16x
+        # FLOPs; scripts/probe_costreg_mix.py), so deep levels use the
+        # tap-unrolled 3D convs instead.
         self.cost_regs = [
-            (CostRegNetFolded if self.n_depths[l] % 8 == 0 else CostRegNet)(
+            (CostRegNetFolded
+             if self.n_depths[l] % 8 == 0 and self.n_depths[l] <= 32
+             else CostRegNet)(
                 dtype=self.dtype, axis_name=self.axis_name,
                 name=f"cost_reg_{l}")
             for l in range(self.levels)]

@@ -124,11 +124,18 @@ def pack_quad(feat: Array) -> Array:
     x0 = -1 (coordinates in [-1, 0)) resolve in-bounds. Out-of-image taps
     are zero, preserving the reference's zeros padding semantics.
     """
-    # pad: 1 guard before (for floor = -1) and 1 after (floor = H-1 needs
-    # y0+1 = H); the one-hot 2x2 patch conv yields lanes ordered
-    # (q00, q01, q10, q11) * C, matching quad_weights' block order.
-    p = jnp.pad(feat, ((1, 1), (1, 1), (0, 0)))
-    return _extract_patches(p[None], 2, 2)[0]  # (H+1, W+1, 4C)
+    # pad: 1 guard before (for floor = -1) and 2 after (floor = H-1 needs
+    # y0+1 = H, and the guard row y0 = H itself for clamped far coords).
+    # A 4-piece lane concat beats the one-hot patch conv here (0.28 vs
+    # 2.13 ms at C=16, scripts/probe_pack.py) — the conv only wins for
+    # many-piece strip tables (pack_strips).
+    H, W, C = feat.shape
+    p = jnp.pad(feat, ((1, 2), (1, 2), (0, 0)))
+    q00 = p[:H + 1, :W + 1]          # (y0, x0)
+    q01 = p[:H + 1, 1:W + 2]         # (y0, x0+1)
+    q10 = p[1:H + 2, :W + 1]         # (y0+1, x0)
+    q11 = p[1:H + 2, 1:W + 2]        # (y0+1, x0+1)
+    return jnp.concatenate([q00, q01, q10, q11], axis=-1)  # (H+1, W+1, 4C)
 
 
 def grid_sample_quad(feat_quad: Array, xy: Array, height: int,

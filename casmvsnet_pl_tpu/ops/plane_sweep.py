@@ -301,21 +301,20 @@ def _resolve_sampling(sampling, C: int, D: int):
     """Map a sampling mode string to a window config (None = quad path).
 
     "auto" currently resolves to quad everywhere: at the one level where
-    window sampling is lane-feasible (the finest, C=8) it measured SLOWER
-    end-to-end on v5e (55 vs 40 ms, scripts/probe_window_integrated.py) —
-    the 4x-wider per-sample epilogue (128 gathered lanes weighted on the
-    VPU vs the quad path's 32) costs more than the 2.6x gather-row saving
-    returns. Kept as an explicit opt-in: on hardware with a different
-    gather/VPU cost ratio the trade flips.
+    window sampling is lane-feasible (the finest, C=8) its FORWARD
+    measured slower end-to-end on v5e (55 vs 40 ms,
+    scripts/probe_window_integrated.py) — the 4x-wider per-sample epilogue
+    (128 gathered lanes weighted on the VPU vs the quad path's 32) costs
+    more than the 2.6x gather-row saving returns. "window" opts in where
+    feasible and silently falls back to quad elsewhere — its BACKWARD
+    scatters 4x fewer rows (gather-VJP scatter-adds dominate the training
+    step), so training may prefer it even where inference does not.
     """
     if sampling in ("quad", "auto"):
         return None
-    cfg = window_config(C, D)
-    if cfg is None:
-        raise ValueError(
-            f"windowed sampling infeasible for C={C}, D={D} "
-            f"(needs C <= 8 and D divisible into groups of <= 8)")
-    return cfg
+    if sampling != "window":
+        raise ValueError(f"unknown sampling mode {sampling!r}")
+    return window_config(C, D)
 
 
 def _pack_tables(srcs: Array, cfg):

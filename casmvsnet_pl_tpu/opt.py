@@ -77,6 +77,10 @@ def get_opts(argv=None):
                              'backward pass (trade ~14%% step time for '
                              'lower peak memory; the TPU analog of the '
                              "reference's InPlace-ABN memory trick)")
+    parser.add_argument('--sampling', type=str, default='auto',
+                        choices=['auto', 'quad', 'window'],
+                        help='plane-sweep sampling strategy (see '
+                             'ops/plane_sweep.py; auto=quad on v5e)')
     parser.add_argument('--num_workers', type=int, default=4)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--exp_name', type=str, default='exp')

@@ -45,6 +45,9 @@ def get_opts(argv=None):
     parser.add_argument('--precision', type=str, default='bf16',
                         choices=['bf16', 'f32'])
     # point cloud fusion
+    parser.add_argument('--sampling', type=str, default='auto',
+                        choices=['auto', 'quad', 'window'],
+                        help='plane-sweep sampling strategy')
     parser.add_argument('--conf', type=float, default=0.999,
                         help='min confidence for a pixel to be valid')
     parser.add_argument('--min_geo_consistent', type=int, default=5,
@@ -74,7 +77,8 @@ def build_predictor(args):
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     model = CascadeMVSNet(n_depths=tuple(args.n_depths),
                           interval_ratios=tuple(args.interval_ratios),
-                          num_groups=args.num_groups, dtype=dtype)
+                          num_groups=args.num_groups, dtype=dtype,
+                          sampling=args.sampling)
 
     W, H = args.img_wh
     imgs0 = jnp.zeros((1, args.n_views, H, W, 3), jnp.float32)

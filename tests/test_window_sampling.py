@@ -101,10 +101,15 @@ def test_window_span_violation_bounded():
     assert (d > 1e-3).mean() < 0.10       # deviation is local, not global
 
 
-def test_window_infeasible_raises():
+def test_window_infeasible_falls_back_to_quad():
+    # C=16 exceeds the 128-lane strip budget: "window" silently uses quad
+    # so the mode can be requested model-wide (e.g. for training).
     feats, proj, dv = _scene(np.random.RandomState(7), C=16)
+    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
+    w = build_cost_volume(feats, proj, dv, remat=False, sampling="window")
+    np.testing.assert_allclose(np.asarray(q), np.asarray(w), atol=0)
     with pytest.raises(ValueError):
-        build_cost_volume(feats, proj, dv, remat=False, sampling="window")
+        build_cost_volume(feats, proj, dv, remat=False, sampling="bogus")
 
 
 def test_cascade_auto_sampling_runs():

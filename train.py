@@ -34,7 +34,8 @@ def main(hparams):
     model = CascadeMVSNet(n_depths=tuple(hparams.n_depths),
                           interval_ratios=tuple(hparams.interval_ratios),
                           num_groups=hparams.num_groups,
-                          dtype=dtype, remat=hparams.remat)
+                          dtype=dtype, remat=hparams.remat,
+                          sampling=hparams.sampling)
 
     dataset_cls = dataset_dict[hparams.dataset_name]
     train_ds = dataset_cls(root_dir=hparams.root_dir, split="train",
