@@ -1,0 +1,141 @@
+"""Full-model numerical parity against the reference PyTorch CasMVSNet.
+
+The strongest parity evidence this environment allows: import the reference
+implementation itself (read-only, /root/reference) as a test oracle, run it
+with random weights on a synthetic scene, convert its state_dict through
+``utils/torch_convert.py``, and require this framework's model to produce
+the same depth and confidence maps at every cascade level.
+
+The reference's CUDA-only deps are shimmed with equivalents:
+  - inplace_abn.InPlaceABN -> BatchNorm + leaky_relu(0.01) (that is its
+    mathematical definition; the CUDA part is only a memory optimization)
+  - kornia.utils.create_meshgrid -> 6-line pixel-grid builder
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from casmvsnet_pl_tpu.data.synthetic import PlaneScene  # noqa: E402
+from casmvsnet_pl_tpu.models import CascadeMVSNet  # noqa: E402
+from casmvsnet_pl_tpu.utils.torch_convert import convert_state_dict  # noqa: E402
+
+
+class _FakeABN(torch.nn.modules.batchnorm._BatchNorm):
+    """BatchNorm(any-d) + leaky_relu(0.01): the math of InPlaceABN."""
+
+    def _check_input_dim(self, input):  # noqa: A002
+        pass
+
+    def forward(self, x):
+        return torch.nn.functional.leaky_relu(super().forward(x), 0.01)
+
+
+def _create_meshgrid(height, width, normalized_coordinates=True,
+                     device=None, dtype=None):
+    xs = torch.arange(width, device=device, dtype=dtype or torch.float32)
+    ys = torch.arange(height, device=device, dtype=dtype or torch.float32)
+    if normalized_coordinates:
+        xs = xs / (width - 1) * 2 - 1
+        ys = ys / (height - 1) * 2 - 1
+    gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+    return torch.stack([gx, gy], dim=-1)[None]          # (1, H, W, 2)
+
+
+@pytest.fixture(scope="module")
+def ref_model_cls():
+    fake_abn = types.ModuleType("inplace_abn")
+    fake_abn.InPlaceABN = _FakeABN
+    fake_abn.ABN = _FakeABN
+    fake_kornia = types.ModuleType("kornia")
+    fake_kornia_utils = types.ModuleType("kornia.utils")
+    fake_kornia_utils.create_meshgrid = _create_meshgrid
+    fake_kornia.utils = fake_kornia_utils
+    sys.modules.setdefault("inplace_abn", fake_abn)
+    sys.modules["kornia"] = fake_kornia
+    sys.modules["kornia.utils"] = fake_kornia_utils
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.mvsnet import CascadeMVSNet as RefCascade
+    finally:
+        sys.path.remove("/root/reference")
+    return RefCascade
+
+
+def _scene(H=64, W=64, V=3):
+    scene = PlaneScene(img_wh=(W, H), n_views=V, z0=460.0, baseline=12.0,
+                       focal=120.0, slope_x=0.2)
+    imgs, proj, _ = scene.model_inputs()
+    return np.asarray(imgs, np.float32), np.asarray(proj, np.float32)
+
+
+@pytest.mark.parametrize("num_groups", [1, 4])
+def test_full_model_parity_with_reference(ref_model_cls, num_groups):
+    torch.manual_seed(0)
+    n_depths, ratios = (8, 16, 16), (1.0, 2.0, 4.0)
+    ref = ref_model_cls(n_depths=list(n_depths),
+                        interval_ratios=list(ratios),
+                        num_groups=num_groups)
+    ref.eval()
+    # The reference's eval path uses in-place accumulation into an einops
+    # repeat() view, which modern torch rejects; flip ONLY the top module's
+    # training flag so predict_depth takes the out-of-place branch (same
+    # math, /root/reference/models/mvsnet.py:150-156) while every BN
+    # submodule stays in eval mode.
+    ref.training = True
+    # exercise nontrivial BN stats, not just the init values
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, _FakeABN):
+                m.running_mean += torch.randn_like(m.running_mean) * 0.05
+                m.running_var *= 1 + 0.1 * torch.rand_like(m.running_var)
+
+    params, stats, skipped = convert_state_dict(ref.state_dict())
+    assert skipped == [], skipped
+
+    model = CascadeMVSNet(n_depths=n_depths, interval_ratios=ratios,
+                          num_groups=num_groups)
+    imgs, proj = _scene()
+    variables = {"params": params, "batch_stats": stats}
+    # structure must match a fresh init exactly (catches mapping drift)
+    init_vars = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                           jnp.asarray(proj), 425.0, 2.65)
+    assert (jax.tree.structure(init_vars["params"])
+            == jax.tree.structure(jax.tree.map(jnp.asarray, params)))
+    for k, v in jax.tree.leaves_with_path(init_vars["params"]):
+        pass  # structure check above suffices; shapes verified by apply
+
+    with jax.default_matmul_precision("float32"):
+        ours = model.apply(jax.tree.map(jnp.asarray, variables),
+                           jnp.asarray(imgs), jnp.asarray(proj), 425.0, 2.65)
+
+    t_imgs = torch.from_numpy(imgs).permute(0, 1, 4, 2, 3).contiguous()
+    with torch.no_grad():
+        theirs = ref(t_imgs, torch.from_numpy(proj), 425.0, 2.65)
+
+    for lvl in range(3):
+        ref_d = theirs[f"depth_{lvl}"].numpy()
+        got_d = np.asarray(ours[f"depth_{lvl}"], np.float32)
+        assert got_d.shape == ref_d.shape
+        err = np.abs(got_d - ref_d).max()
+        assert err < 5e-2, f"depth_{lvl} max err {err}"  # mm, on ~460mm
+        ref_c = theirs[f"confidence_{lvl}"].numpy()
+        got_c = np.asarray(ours[f"confidence_{lvl}"], np.float32)
+        cerr = np.abs(got_c - ref_c).max()
+        assert cerr < 1e-2, f"confidence_{lvl} max err {cerr}"
+
+
+def test_convert_rejects_nothing_known(ref_model_cls):
+    ref = ref_model_cls(n_depths=[8, 16, 16], interval_ratios=[1, 2, 4])
+    sd = {f"model.{k}": v for k, v in ref.state_dict().items()}
+    sd["loss.levels"] = torch.zeros(1)       # Lightning extra, must skip
+    params, stats, skipped = convert_state_dict(sd)
+    assert skipped == ["loss.levels"]
+    assert "feature" in params and "cost_reg_0" in params
+    assert "feature" in stats
