@@ -43,17 +43,19 @@ def _patch_kernel(kh: int, kw: int, C: int):
     return k
 
 
-def _extract_patches(padded: Array, kh: int, kw: int) -> Array:
-    """(B, Hp, Wp, C) -> (B, Hp-kh+1, Wp-kw+1, kh*kw*C) via one-hot conv.
+def _extract_patches(padded: Array, kh: int, kw: int,
+                     stride_w: int = 1) -> Array:
+    """(B, Hp, Wp, C) -> (B, Hp-kh+1, out_w, kh*kw*C) via one-hot conv.
 
-    Exact in any dtype: each output lane sums exactly one 1.0*value term.
-    (No preferred_element_type: it would make the transpose/VJP conv mix
-    f32 cotangents with the bf16 kernel, which lax.conv rejects.)
+    Lane order: (dy*kw + dx)*C + c. Exact in any dtype: each output lane
+    sums exactly one 1.0*value term. (No preferred_element_type: it would
+    make the transpose/VJP conv mix f32 cotangents with the bf16 kernel,
+    which lax.conv rejects.)
     """
     C = padded.shape[-1]
     kern = jnp.asarray(_patch_kernel(kh, kw, C), padded.dtype)
     return jax.lax.conv_general_dilated(
-        padded, kern, window_strides=(1, 1), padding="VALID",
+        padded, kern, window_strides=(1, stride_w), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -206,6 +208,25 @@ def grid_sample_quad(feat_quad: Array, xy: Array, height: int,
     out = sum(rows[:, q * C:(q + 1) * C]
               * taps[q].reshape(-1, 1).astype(dtype) for q in range(4))
     return out.reshape(out_shape)
+
+
+def pack_blocks(feat: Array, align: int) -> Array:
+    """(H, W, C) -> (H+2, ~W/align, 2*(align+1)*C) aligned-block table.
+
+    Entry (yi, xb) holds the 2 x (align+1) patch of padded feat anchored at
+    padded coords (yi, xb*align): enough texels that ANY bilinear support
+    whose floor cell maps into the block (xi // align == xb) is covered —
+    exact with no geometric conditions, unlike pack_strips windows. The
+    point is the gather-engine fast regime: rates cliff ~4-5x once a
+    table passes ~0.5M ROWS (scripts/probe_evalres_gather.py: 2.4 ns/row
+    at 330K rows, 11.3-11.9 ns/row at 1M rows, independent of row width
+    up to 128 lanes), so packing `align` quad cells per row keeps e.g. the
+    1152x864 level-0 table in the fast regime. align=1 is pack_quad.
+
+    Lane order: (dy*(align+1) + dx)*C + c.
+    """
+    p = jnp.pad(feat, ((1, 2), (1, align + 1), (0, 0)))
+    return _extract_patches(p[None], 2, align + 1, stride_w=align)[0]
 
 
 def pack_strips(feat: Array, strip_w: int, window_h: int) -> Array:

@@ -13,22 +13,24 @@ scripts/probe_warp_cost.py, probe_l0_variants.py, probe_epi3.py, probe_epi4.py)
 * Sampling uses the packed-quad single-row-gather (ops/grid_sample.py): the
   TPU gather engine charges ~2.5 ns per ROW independent of width 8..128
   lanes, so one 4C-wide gather beats four C-wide tap gathers ~4x.
-* An opt-in WINDOW sampling mode (sampling="window") shares one
-  window_h x strip_w gathered window across a group of depth hypotheses
-  where strip_w*C <= 128 lanes — 2.6x fewer gather rows at the finest
-  level, and rows of <= 128 lanes keep the fast ~2.4 ns rate even from
-  85 MB strip tables (scripts/probe_window.py; wider rows collapse ~5x).
-  It still measured SLOWER end-to-end on v5e (55 vs 40 ms) because the
-  4x-wider per-sample epilogue outweighs the gather saving — so "auto"
-  resolves to quad; see _resolve_sampling.
-* Sampling tables (quad and strip) are built by a one-hot patch-extraction
-  CONVOLUTION on the MXU — lane-offset concats of shifted slices lower to
-  masked sub-128-lane stores and cost ~26 ms per 512x640 strip table vs
-  ~1 ms for the conv (scripts/probe_win_ablate.py).
-* The gather rate cliffs ~4-5x when the (batch-folded) quad table exceeds
-  the VMEM-stageable size: tables up to ~21 MB run at 2.3-3 ns/row, a 42 MB
-  table at ~12 ns/row. Levels whose folded table passes ``_FOLD_LIMIT``
-  therefore gather PER BATCH ELEMENT (62 ms -> 16 ms per view at level 0).
+* The gather rate cliffs ~4-5x by table ROW COUNT, independent of row
+  width up to 128 lanes: ~2.4-3.4 ns/row through ~340K rows, ~11-12 ns/row
+  near 1M (scripts/probe_window.py, probe_evalres_gather.py). Three
+  consequences: (a) batch-folded tables past ``_FOLD_LIMIT`` gather per
+  batch element (62 -> 16 ms/view at level 0); (b) at large resolutions
+  "auto" switches to ALIGNED-BLOCK tables (pack_blocks) that pack `align`
+  quad cells per 2x(align+1) row — align-x fewer table rows, still one
+  gather row per sample, exact for any geometry (1.4x end-to-end at the
+  1152x864 eval resolution); (c) an opt-in WINDOW mode (sampling="window")
+  shares one strip window across a depth-hypothesis group where
+  strip_w*C <= 128 — fewer gather rows and a 4x-smaller backward scatter,
+  but a wider epilogue that loses on the v5e FORWARD (55 vs 40 ms), and
+  exact only while group spans fit the window; see _resolve_sampling.
+* Many-piece sampling tables (strips, blocks) are built by a one-hot
+  patch-extraction CONVOLUTION on the MXU — lane-offset concats of shifted
+  slices lower to masked sub-128-lane stores and cost ~26 ms per 512x640
+  strip table vs ~1 ms for the conv (scripts/probe_win_ablate.py);
+  4-piece quad tables still use the concat (scripts/probe_pack.py).
 * The 4-tap combine avoids per-sample-scalar x lane-vector ops entirely
   (XLA lowers those through a transposed f32 copy + while loop, ~7.6 ms per
   2.6M-sample view): tap weights are expanded to (N, 4C) with CONSTANT lane
@@ -58,8 +60,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .geometry import project_to_src
-from .grid_sample import (grid_sample, grid_sample_quad, pack_quad,
-                          pack_strips, quad_weights)
+from .grid_sample import (grid_sample, grid_sample_quad, pack_blocks,
+                          pack_quad, pack_strips, quad_weights)
 
 Array = jax.Array
 
@@ -297,44 +299,141 @@ def _group_mean_matrix(C: int, groups: int):
     return m
 
 
-def _resolve_sampling(sampling, C: int, D: int):
-    """Map a sampling mode string to a window config (None = quad path).
+# Above this many table rows the gather engine leaves its fast ~2.4 ns/row
+# regime (measured cliff to ~11-12 ns/row near 1M rows, fast through ~330K;
+# scripts/probe_evalres_gather.py, probe_window.py).
+_ROW_THRESH = 340_000
 
-    "auto" currently resolves to quad everywhere: at the one level where
-    window sampling is lane-feasible (the finest, C=8) its FORWARD
-    measured slower end-to-end on v5e (55 vs 40 ms,
-    scripts/probe_window_integrated.py) — the 4x-wider per-sample epilogue
-    (128 gathered lanes weighted on the VPU vs the quad path's 32) costs
-    more than the 2.6x gather-row saving returns. "window" opts in where
-    feasible and silently falls back to quad elsewhere — its BACKWARD
-    scatters 4x fewer rows (gather-VJP scatter-adds dominate the training
-    step), so training may prefer it even where inference does not.
+
+def block_align(C: int, H: int, W: int) -> int:
+    """Aligned-block packing factor for a level (1 = plain quad table).
+
+    Stays on the plain quad table while it is reliably in the gather fast
+    regime (both few rows AND small bytes — a 250K-row/32MB 64-lane table
+    already measured slow, probe_evalres_gather.py); otherwise packs to
+    full 128-lane rows (A = 64/C - 1), minimizing table rows. Exact for
+    any geometry at any A.
     """
-    if sampling in ("quad", "auto"):
-        return None
-    if sampling != "window":
+    a_max = 64 // C - 1
+    if a_max < 2:
+        return 1
+    rows = (H + 2) * (W + 2)
+    if rows <= _ROW_THRESH and rows * 4 * C * 2 <= _FOLD_LIMIT:
+        return 1
+    return a_max
+
+
+def _resolve_sampling(sampling, C: int, D: int, H: int, W: int):
+    """Map a sampling mode string to a per-level sampler config dict.
+
+    "auto"/"quad" use one gather row per (pixel, depth, view): a plain quad
+    table while it fits the gather fast regime (~340K rows), else an
+    aligned-block table ("auto" only) packing `align` quad cells per row —
+    exact for any geometry, and 1.4x end-to-end at the 1152x864 DTU eval
+    resolution where quad tables fall off the row-count cliff. "window"
+    additionally shares strip-window gathers across depth groups where
+    lane-feasible (fewer gather rows and a 4x-smaller backward scatter, but
+    a wider epilogue; exact only while group spans fit the window) and
+    falls back to the auto policy elsewhere.
+    """
+    if sampling not in ("quad", "auto", "window"):
         raise ValueError(f"unknown sampling mode {sampling!r}")
-    return window_config(C, D)
+    if sampling == "window":
+        cfg = window_config(C, D)
+        if cfg is not None:
+            return {"mode": "window", **cfg}
+    if sampling != "quad":
+        a = block_align(C, H, W)
+        if a > 1:
+            return {"mode": "block", "align": a}
+    return {"mode": "quad"}
 
 
 def _pack_tables(srcs: Array, cfg):
-    """Per-view sampling tables: strip tables (window cfg) or quad volumes."""
-    if cfg is None:
+    """Per-view sampling tables for the configured sampler."""
+    if cfg["mode"] == "quad":
         return jax.vmap(jax.vmap(pack_quad))(srcs)
+    if cfg["mode"] == "block":
+        return jax.vmap(jax.vmap(
+            lambda f: pack_blocks(f, cfg["align"])))(srcs)
     return jax.vmap(jax.vmap(
         lambda f: pack_strips(f, cfg["strip_w"], cfg["window_h"])))(srcs)
+
+
+def _block_view(table: Array, proj_mat: Array, depth_values: Array,
+                height: int, width: int, align: int) -> Array:
+    """Warp one source view via aligned-block gathers: exact bilinear.
+
+    table: (B, H+2, nxb, 2*(align+1)*C) from pack_blocks. One gather row
+    per sample (like quad), but the table has align-x fewer rows, keeping
+    the gather engine in its fast regime at large resolutions. The tap
+    select inside the block runs as hat weights on constant lane iotas +
+    one stacked-identity matmul — the same fast epilogue pattern as the
+    quad path, just 2*(align+1)*C wide.
+    """
+    B, Ht, nxb, L = table.shape
+    bw = 2 * (align + 1)
+    C = L // bw
+    D = depth_values.shape[1]
+    hw = height * width
+    dtype = table.dtype
+
+    coords = jax.vmap(
+        lambda p, d: project_to_src(p, d, height, width))(proj_mat,
+                                                          depth_values)
+    x = coords[..., 0].astype(jnp.float32).reshape(B, -1)     # (B, N)
+    y = coords[..., 1].astype(jnp.float32).reshape(B, -1)
+    vm = (((x > -1.0) & (x < float(width)) &
+           (y > -1.0) & (y < float(height)))
+          .astype(jnp.float32))[..., None]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, width)
+    yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, height)
+    xb = xi // align
+    idx = yi * nxb + xb                                       # (B, N)
+
+    n_rows = B * Ht * nxb
+    flat = table.reshape(n_rows, L)
+    if n_rows <= _ROW_THRESH or B == 1:
+        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Ht * nxb))[:, None]
+        rows = jnp.take(flat, fidx.reshape(-1), axis=0).reshape(B, -1, L)
+    else:
+        rows = jnp.stack([
+            jnp.take(table[b].reshape(Ht * nxb, L), idx[b], axis=0)
+            for b in range(B)])
+
+    # tap (dy, dx) at lane (dy*(align+1)+dx)*C + c covers image pixel
+    # (yi-1+dy, xb*align-1+dx); bilinear = hat products at those positions
+    fx1 = (x - (xb * align - 1).astype(jnp.float32))[..., None]
+    fy1 = (y - (yi - 1).astype(jnp.float32))[..., None]
+    lane = np.arange(L)
+    dxl = jnp.asarray(((lane // C) % (align + 1)).astype(np.float32))
+    dyl = jnp.asarray((lane // ((align + 1) * C)).astype(np.float32))
+    w = (jnp.maximum(0.0, 1.0 - jnp.abs(fx1 - dxl)) *
+         jnp.maximum(0.0, 1.0 - jnp.abs(fy1 - dyl)) * vm)
+    prod = rows * w.astype(dtype)
+    kmat = jnp.asarray(_identity_stack(C, bw), dtype)
+    o = jax.lax.dot_general(
+        prod, kmat, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return o.reshape(B, D, hw, C)
 
 
 def _sample_view(tables_v: Array, proj_mat_v: Array, depth_values: Array,
                  height: int, width: int, cfg) -> Array:
     """Warped features of one source view: (B, D, H*W, C) float32."""
-    if cfg is None:
+    if cfg["mode"] == "quad":
         rows, w4 = _gather_view(tables_v, proj_mat_v, depth_values,
                                 height, width)
         B = tables_v.shape[0]
         D = depth_values.shape[1]
         C = tables_v.shape[-1] // 4
         return _tap_reduce(rows, w4).reshape(B, D, height * width, C)
+    if cfg["mode"] == "block":
+        return _block_view(tables_v, proj_mat_v, depth_values, height,
+                           width, cfg["align"])
     return _window_view(tables_v, proj_mat_v, depth_values, height, width,
                         cfg["strip_w"], cfg["window_h"], cfg["depth_group"])
 
@@ -358,7 +457,7 @@ def batched_variance_cost_volume(feats: Array, proj_mats: Array,
     D = depth_values.shape[1]
     dtype = feats.dtype
     ref, srcs = feats[:, 0], feats[:, 1:]
-    cfg = _resolve_sampling(sampling, C, D)
+    cfg = _resolve_sampling(sampling, C, D, H, W)
     tables = _pack_tables(srcs, cfg)
 
     def build(tables, proj_mats, depth_values, ref):
@@ -395,7 +494,7 @@ def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
     D = depth_values.shape[1]
     dtype = feats.dtype
     ref, srcs = feats[:, 0], feats[:, 1:]
-    cfg = _resolve_sampling(sampling, C, D)
+    cfg = _resolve_sampling(sampling, C, D, H, W)
     tables = _pack_tables(srcs, cfg)
 
     def build(tables, proj_mats, depth_values, ref):
@@ -417,6 +516,29 @@ def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
     return build(tables, proj_mats, depth_values, ref)
 
 
+import os
+
+_BARRIER = os.environ.get("CASMVS_CV_BARRIER", "auto")
+
+
+def _maybe_barrier(cfg, *arrays):
+    """Isolate the cost-volume build from surrounding layout/fusion choices.
+
+    The aligned-block sampler's wide dot operand invites XLA to propagate
+    layouts/fusions from FeatureNet/CostRegNet into the warp stage; in the
+    composed cascade that measured 939 ms/view vs ~420 for the same stages
+    compiled in isolation (scripts/probe_block_full.py). An
+    optimization_barrier around the build restores the isolated behavior.
+    """
+    use = (_BARRIER == "1"
+           or (_BARRIER == "auto" and cfg is not None
+               and cfg.get("mode") == "block"))
+    if not use:
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = jax.lax.optimization_barrier(arrays)
+    return out if len(arrays) > 1 else out[0]
+
+
 @functools.partial(jax.jit, static_argnames=("groups", "remat", "sampling"))
 def build_cost_volume(feats: Array, proj_mats: Array, depth_values: Array,
                       groups: int = 1, remat: bool = True,
@@ -426,8 +548,15 @@ def build_cost_volume(feats: Array, proj_mats: Array, depth_values: Array,
     feats: (B, V, H, W, C); proj_mats: (B, V-1, 3, 4);
     depth_values: (B, D, H, W). Returns (B, D, H, W, C or G).
     """
+    cfg = _resolve_sampling(sampling, feats.shape[-1],
+                            depth_values.shape[1], feats.shape[2],
+                            feats.shape[3])
+    feats, proj_mats, depth_values = _maybe_barrier(
+        cfg, feats, proj_mats, depth_values)
     if groups == 1:
-        return batched_variance_cost_volume(feats, proj_mats, depth_values,
-                                            remat, sampling)
-    return batched_groupwise_cost_volume(feats, proj_mats, depth_values,
-                                         groups, remat, sampling)
+        vol = batched_variance_cost_volume(feats, proj_mats, depth_values,
+                                           remat, sampling)
+    else:
+        vol = batched_groupwise_cost_volume(feats, proj_mats, depth_values,
+                                            groups, remat, sampling)
+    return _maybe_barrier(cfg, vol)

@@ -26,17 +26,18 @@ scene = PlaneScene(img_wh=(W, H), n_views=V, z0=460.0, baseline=12.0,
 imgs, proj, _ = scene.model_inputs()
 imgs, proj = jnp.asarray(imgs), jnp.asarray(proj)
 
-model = CascadeMVSNet(dtype=dtype, remat=False)
-variables = model.init(jax.random.PRNGKey(0), imgs[:, :, :64, :64], proj,
-                       425.0, 2.65)
+import os
+_order = os.environ.get("ER_ORDER", "auto,quad").split(",")
+for sampling in _order:
+    model = CascadeMVSNet(dtype=dtype, remat=False, sampling=sampling)
+    variables = model.init(jax.random.PRNGKey(0), imgs[:, :, :64, :64], proj,
+                           425.0, 2.65)
 
+    def forward(imgs, proj, model=model, variables=variables):
+        out = model.apply(variables, imgs, proj, 425.0, 2.65)
+        return out["depth_0"], out["confidence_2"]
 
-def forward(imgs, proj):
-    out = model.apply(variables, imgs, proj, 425.0, 2.65)
-    return out["depth_0"], out["confidence_2"]
-
-
-dt = device_time(forward, imgs, proj, iters=8)
-print(f"eval-res forward {W}x{H} {V} views: {dt * 1e3:.1f} ms/view "
-      f"({1.0 / dt:.2f} views/s; reference 2080Ti: 756 ms/view -> "
-      f"{756.0 / (dt * 1e3):.1f}x)", flush=True)
+    dt = device_time(forward, imgs, proj, iters=int(os.environ.get('ER_ITERS', '8')))
+    print(f"eval-res forward {W}x{H} {V} views [{sampling}]: "
+          f"{dt * 1e3:.1f} ms/view ({1.0 / dt:.2f} views/s; reference "
+          f"2080Ti: 756 ms/view -> {756.0 / (dt * 1e3):.1f}x)", flush=True)

@@ -112,6 +112,48 @@ def test_window_infeasible_falls_back_to_quad():
         build_cost_volume(feats, proj, dv, remat=False, sampling="bogus")
 
 
+def test_block_sampling_matches_quad_exactly(monkeypatch):
+    """Aligned-block tables (auto mode at large resolutions) are exact for
+    ANY geometry — unlike windows there is no span condition."""
+    from casmvsnet_pl_tpu.ops import plane_sweep as ps
+    monkeypatch.setattr(ps, "_ROW_THRESH", 500)   # force block at test size
+    for C, groups, tx in [(8, 1, 40.0), (16, 1, 40.0), (8, 4, 40.0),
+                          (8, 1, 9000.0)]:        # incl. out-of-image
+        feats, proj, dv = _scene(np.random.RandomState(11), C=C, tx=tx)
+        a = ps.block_align(C, 32, 40)
+        assert a > 1
+        q = ps.build_cost_volume(feats, proj, dv, groups=groups,
+                                 remat=False, sampling="quad")
+        b = ps.build_cost_volume(feats, proj, dv, groups=groups,
+                                 remat=False, sampling="auto")
+        np.testing.assert_allclose(np.asarray(q), np.asarray(b), atol=3e-6)
+
+
+def test_block_sampling_gradients(monkeypatch):
+    from casmvsnet_pl_tpu.ops import plane_sweep as ps
+    monkeypatch.setattr(ps, "_ROW_THRESH", 500)
+    feats, proj, dv = _scene(np.random.RandomState(12), B=1, H=16, W=24)
+
+    def loss(f, sampling):
+        return jnp.sum(ps.build_cost_volume(f, proj, dv, remat=False,
+                                            sampling=sampling) ** 2)
+
+    gq = jax.grad(lambda f: loss(f, "quad"))(feats)
+    gb = jax.grad(lambda f: loss(f, "auto"))(feats)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gb), atol=2e-6)
+
+
+def test_block_align_policy():
+    from casmvsnet_pl_tpu.ops.plane_sweep import block_align
+    # training resolution: quad tables are in the fast regime
+    assert block_align(8, 512, 640) == 1
+    assert block_align(16, 256, 320) == 1
+    # DTU eval resolution: level-0/1 tables fall off the cliff -> 128-lane
+    assert block_align(8, 864, 1152) == 7
+    assert block_align(16, 432, 576) == 3
+    assert block_align(32, 216, 288) == 1     # lanes infeasible, stays quad
+
+
 def test_cascade_auto_sampling_runs():
     from casmvsnet_pl_tpu.models import CascadeMVSNet
     rng = np.random.RandomState(8)
