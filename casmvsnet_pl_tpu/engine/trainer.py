@@ -59,7 +59,11 @@ class MVSTrainer:
     # -- state -------------------------------------------------------------
     def init_state(self, sample_batch: dict, seed: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(seed)
-        variables = self.model.init(rng, *model_batch_args(sample_batch))
+        # jit the init: one whole-graph compile instead of eager op-by-op
+        # dispatch (which compiles every primitive separately — ~2x slower
+        # even on the virtual CPU mesh, worse through the TPU tunnel).
+        variables = jax.jit(self.model.init)(
+            rng, *model_batch_args(sample_batch))
         params = wrap_params_for(self.cfg, variables["params"])
         opt_state = self.tx.init(params)
         state = TrainState.create(params, variables.get("batch_stats", {}),

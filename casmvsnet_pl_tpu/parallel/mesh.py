@@ -13,18 +13,35 @@ inference) can be layered on without changing call sites.
 """
 from __future__ import annotations
 
+import logging
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+logger = logging.getLogger(__name__)
+
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host bootstrap (no-op on a single host)."""
+    """Multi-host bootstrap (no-op on a single host).
+
+    Logs what happened instead of silently swallowing errors: a misconfigured
+    multi-host launch must not silently degrade to single-host.
+    """
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # already initialized or single-process setup
-        pass
+        logger.info("jax.distributed initialized: process %d/%d",
+                    jax.process_index(), jax.process_count())
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            logger.info("jax.distributed already initialized")
+            return
+        raise
+    except ValueError as e:
+        # jax raises ValueError when no coordinator/cluster env is detected;
+        # that is the normal single-process path — log it, don't hide it.
+        logger.info("single-process run (jax.distributed not configured: %s)",
+                    e)
 
 
 def make_mesh(n_devices: int | None = None, model_axis: int = 1) -> Mesh:
@@ -32,7 +49,17 @@ def make_mesh(n_devices: int | None = None, model_axis: int = 1) -> Mesh:
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
-    assert n_devices % model_axis == 0
+    if n_devices > len(devices):
+        raise ValueError(
+            f"make_mesh: requested {n_devices} devices but only "
+            f"{len(devices)} are visible on platform "
+            f"'{jax.default_backend()}'. For a virtual CPU mesh, set "
+            f"JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_devices} before JAX "
+            f"initializes (see tests/conftest.py).")
+    if n_devices % model_axis:
+        raise ValueError(f"make_mesh: n_devices={n_devices} not divisible "
+                         f"by model_axis={model_axis}")
     arr = np.array(devices[:n_devices]).reshape(n_devices // model_axis,
                                                 model_axis)
     return Mesh(arr, axis_names=("data", "model"))
