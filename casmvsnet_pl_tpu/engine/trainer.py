@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..data.loader import prefetch_to_device
 from ..losses import sl1_loss
 from ..metrics import abs_error_mean, acc_threshold_mean, metric_sums
 from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
@@ -158,21 +159,31 @@ class MVSTrainer:
         return jax.tree.map(
             lambda x: jax.device_put(x, batch_sharding(self.mesh)), host)
 
+    def _prefetch(self, loader: Iterable) -> Iterator[dict]:
+        """Device-prefetching iterator over a host loader: up to 2 batches in
+        flight, transferred from a background thread with the mesh's data
+        sharding, so h2d (slow on the tunnel) overlaps device compute —
+        the role DataLoader(num_workers=4, pin_memory=True) plays in the
+        reference (/root/reference/train.py:85-97)."""
+        for dev in prefetch_to_device(iter(loader), size=2,
+                                      sharding=batch_sharding(self.mesh)):
+            dev.pop("scan_vid", None)
+            yield dev
+
     def validate(self, state: TrainState, val_loader: Iterable,
                  epoch: int = 0, global_step: int = 0) -> dict[str, float]:
         totals: dict[str, float] = {}
         n_batches = 0
         first = True
-        for batch in val_loader:
-            dev = self._device_batch(batch)
+        for dev in self._prefetch(val_loader):
             sums, outs = self.val_step(state, dev)
             sums = jax.device_get(sums)
             for k, v in sums.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             n_batches += 1
             if first and self.writer is not None:
-                self._log_images("val", batch, jax.device_get(outs),
-                                 global_step)
+                self._log_images("val", jax.device_get(dev),
+                                 jax.device_get(outs), global_step)
             first = False
         mask_sum = max(totals.get("mask_sum", 0.0), 1.0)
         metrics = {
@@ -193,13 +204,12 @@ class MVSTrainer:
         global_step = int(jax.device_get(state.step))
         for epoch in range(num_epochs):
             t0 = time.time()
-            iterator = train_loader
+            iterator = self._prefetch(train_loader)
             if progress:
                 from tqdm import tqdm
-                iterator = tqdm(train_loader, desc=f"epoch {epoch}",
-                                leave=False)
-            for batch_nb, batch in enumerate(iterator):
-                dev = self._device_batch(batch)
+                iterator = tqdm(iterator, desc=f"epoch {epoch}",
+                                total=len(train_loader), leave=False)
+            for batch_nb, dev in enumerate(iterator):
                 state, logs = self.train_step(state, dev)
                 global_step += 1
                 if self.writer is not None and (global_step % log_every == 0
@@ -209,8 +219,8 @@ class MVSTrainer:
                         self.writer.add_scalar(k, float(v), global_step)
                 if batch_nb == 0 and self.writer is not None:
                     _, outs = self.val_step(state, dev)
-                    self._log_images("train", batch, jax.device_get(outs),
-                                     global_step)
+                    self._log_images("train", jax.device_get(dev),
+                                     jax.device_get(outs), global_step)
             metrics = self.validate(state, val_loader, epoch, global_step)
             if self.ckpt_mgr is not None:
                 tree = {"params": self.model_params(state),

@@ -10,6 +10,8 @@ from casmvsnet_pl_tpu.data import DTUDataset, read_pfm
 from casmvsnet_pl_tpu.data.synthetic import write_dtu_tree
 from casmvsnet_pl_tpu.fusion import read_ply
 
+pytestmark = pytest.mark.slow  # full-model tier: minutes of CPU compile
+
 
 @pytest.fixture(scope="module")
 def tiny_test_setup(tmp_path_factory):

@@ -11,6 +11,8 @@ from casmvsnet_pl_tpu.ops.conv3d import (conv3x3x3, conv3x3x3_folded,
                                          conv_transpose3x3x3_s2_folded,
                                          fold_volume, unfold_volume)
 
+pytestmark = pytest.mark.slow  # full-model tier: minutes of CPU compile
+
 
 @pytest.mark.parametrize("stride", [1, 2])
 def test_folded_conv_matches_unfolded(stride):

@@ -6,6 +6,8 @@ import pytest
 from casmvsnet_pl_tpu.models import CascadeMVSNet, CostRegNet, FeatureNet
 from casmvsnet_pl_tpu.models.blocks import ConvTransposeBnAct3D
 
+pytestmark = pytest.mark.slow  # full-model tier: minutes of CPU compile
+
 
 def _param_count(params):
     return sum(np.prod(p.shape) for p in jax.tree.leaves(params))

@@ -26,6 +26,8 @@ from casmvsnet_pl_tpu.data.synthetic import PlaneScene  # noqa: E402
 from casmvsnet_pl_tpu.models import CascadeMVSNet  # noqa: E402
 from casmvsnet_pl_tpu.utils.torch_convert import convert_state_dict  # noqa: E402
 
+pytestmark = pytest.mark.slow  # full-model tier: minutes of CPU compile
+
 
 class _FakeABN(torch.nn.modules.batchnorm._BatchNorm):
     """BatchNorm(any-d) + leaky_relu(0.01): the math of InPlaceABN."""

@@ -13,6 +13,8 @@ from casmvsnet_pl_tpu.models import CascadeMVSNet
 from casmvsnet_pl_tpu.parallel import make_mesh
 from casmvsnet_pl_tpu.utils import OptimConfig
 
+pytestmark = pytest.mark.slow  # full-model tier: minutes of CPU compile
+
 
 class _Subset:
     def __init__(self, ds, n):

@@ -14,6 +14,8 @@ import pytest
 
 from casmvsnet_pl_tpu.ops.plane_sweep import build_cost_volume, window_config
 
+pytestmark = pytest.mark.slow  # full-model tier: minutes of CPU compile
+
 
 def _scene(rng, B=2, V=3, H=32, W=40, C=8, D=8, tx=40.0, ty=12.0,
            dmin=430.0, dint=2.65):
