@@ -42,8 +42,10 @@ Both kernels have custom VJPs (training path):
     d o_v = g * 2/V * (o_v - m);  d ref = sum_d g * 2/V * (ref - m)
     d rows_v[n, q*C+c] = w_v[n, q] * d o_v[n, c]
     d w_v[n, q]        = sum_c rows_v[n, q*C+c] * d o_v[n, c]
-On CPU (tests) and for unsupported shapes, a mathematically identical
-pure-XLA formulation runs instead; the torch-oracle tests pin both.
+On CPU and for unsupported shapes, a mathematically identical pure-XLA
+formulation runs instead; tests/test_cost_epilogue.py pins that fallback
+(forward + custom VJPs) against an independent autodiff formulation, and
+scripts/probe_epilogue.py validates the Pallas kernels against it on TPU.
 """
 from __future__ import annotations
 

@@ -54,6 +54,8 @@ scripts/probe_warp_cost.py, probe_l0_variants.py, probe_epi3.py, probe_epi4.py)
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -305,25 +307,27 @@ def _group_mean_matrix(C: int, groups: int):
 _ROW_THRESH = 340_000
 
 
-def block_align(C: int, H: int, W: int) -> int:
+def block_align(C: int, H: int, W: int, itemsize: int = 2) -> int:
     """Aligned-block packing factor for a level (1 = plain quad table).
 
     Stays on the plain quad table while it is reliably in the gather fast
     regime (both few rows AND small bytes — a 250K-row/32MB 64-lane table
     already measured slow, probe_evalres_gather.py); otherwise packs to
     full 128-lane rows (A = 64/C - 1), minimizing table rows. Exact for
-    any geometry at any A.
+    any geometry at any A. ``itemsize`` is the feature dtype's byte width
+    (2 for bf16, 4 for f32) so the byte check holds under --precision f32.
     """
     a_max = 64 // C - 1
     if a_max < 2:
         return 1
     rows = (H + 2) * (W + 2)
-    if rows <= _ROW_THRESH and rows * 4 * C * 2 <= _FOLD_LIMIT:
+    if rows <= _ROW_THRESH and rows * 4 * C * itemsize <= _FOLD_LIMIT:
         return 1
     return a_max
 
 
-def _resolve_sampling(sampling, C: int, D: int, H: int, W: int):
+def _resolve_sampling(sampling, C: int, D: int, H: int, W: int,
+                      itemsize: int = 2):
     """Map a sampling mode string to a per-level sampler config dict.
 
     "auto"/"quad" use one gather row per (pixel, depth, view): a plain quad
@@ -341,12 +345,25 @@ def _resolve_sampling(sampling, C: int, D: int, H: int, W: int):
     if sampling == "window":
         cfg = window_config(C, D)
         if cfg is not None:
+            _warn_window_once()
             return {"mode": "window", **cfg}
     if sampling != "quad":
-        a = block_align(C, H, W)
+        a = block_align(C, H, W, itemsize)
         if a > 1:
             return {"mode": "block", "align": a}
     return {"mode": "quad"}
+
+
+@functools.cache
+def _warn_window_once() -> None:
+    """One-time signal that window sampling is a bounded approximation:
+    samples whose depth-group span exceeds the strip window are clamped to
+    the window edge with no runtime error (accuracy, not crash)."""
+    warnings.warn(
+        "sampling='window' clamps samples to the strip window edge when a "
+        "depth-group's span exceeds the window; results are exact only "
+        "while group spans fit (see ops/plane_sweep.py window notes).",
+        stacklevel=3)
 
 
 def _pack_tables(srcs: Array, cfg):
@@ -457,7 +474,7 @@ def batched_variance_cost_volume(feats: Array, proj_mats: Array,
     D = depth_values.shape[1]
     dtype = feats.dtype
     ref, srcs = feats[:, 0], feats[:, 1:]
-    cfg = _resolve_sampling(sampling, C, D, H, W)
+    cfg = _resolve_sampling(sampling, C, D, H, W, dtype.itemsize)
     tables = _pack_tables(srcs, cfg)
 
     def build(tables, proj_mats, depth_values, ref):
@@ -494,7 +511,7 @@ def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
     D = depth_values.shape[1]
     dtype = feats.dtype
     ref, srcs = feats[:, 0], feats[:, 1:]
-    cfg = _resolve_sampling(sampling, C, D, H, W)
+    cfg = _resolve_sampling(sampling, C, D, H, W, dtype.itemsize)
     tables = _pack_tables(srcs, cfg)
 
     def build(tables, proj_mats, depth_values, ref):
@@ -516,11 +533,6 @@ def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
     return build(tables, proj_mats, depth_values, ref)
 
 
-import os
-
-_BARRIER = os.environ.get("CASMVS_CV_BARRIER", "auto")
-
-
 def _maybe_barrier(cfg, *arrays):
     """Isolate the cost-volume build from surrounding layout/fusion choices.
 
@@ -530,8 +542,9 @@ def _maybe_barrier(cfg, *arrays):
     compiled in isolation (scripts/probe_block_full.py). An
     optimization_barrier around the build restores the isolated behavior.
     """
-    use = (_BARRIER == "1"
-           or (_BARRIER == "auto" and cfg is not None
+    barrier = os.environ.get("CASMVS_CV_BARRIER", "auto")
+    use = (barrier == "1"
+           or (barrier == "auto" and cfg is not None
                and cfg.get("mode") == "block"))
     if not use:
         return arrays if len(arrays) > 1 else arrays[0]
@@ -550,7 +563,7 @@ def build_cost_volume(feats: Array, proj_mats: Array, depth_values: Array,
     """
     cfg = _resolve_sampling(sampling, feats.shape[-1],
                             depth_values.shape[1], feats.shape[2],
-                            feats.shape[3])
+                            feats.shape[3], feats.dtype.itemsize)
     feats, proj_mats, depth_values = _maybe_barrier(
         cfg, feats, proj_mats, depth_values)
     if groups == 1:

@@ -7,8 +7,7 @@ Capability parity with the reference's checkpoint surface:
   - partial weight loading with ``prefixes_to_ignore`` for cross-dataset
     transfer (/root/reference/utils/__init__.py:52-80).
 
-Format: msgpack (flax.serialization) of a plain nested dict. An optional
-orbax-backed path is provided for async multi-host checkpointing.
+Format: msgpack (flax.serialization) of a plain nested dict.
 """
 from __future__ import annotations
 

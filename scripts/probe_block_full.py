@@ -30,8 +30,9 @@ _real_block_align = ps.block_align
 
 
 def run(tag, allow):
-    ps.block_align = (lambda C, h, w:
-                      _real_block_align(C, h, w) if C in allow else 1)
+    ps.block_align = (lambda C, h, w, itemsize=2:
+                      _real_block_align(C, h, w, itemsize)
+                      if C in allow else 1)
     model = CascadeMVSNet(dtype=dtype, remat=False, sampling="auto")
     variables = model.init(jax.random.PRNGKey(0), imgs[:, :, :64, :64],
                            proj, 425.0, 2.65)

@@ -19,7 +19,8 @@ from casmvsnet_pl_tpu.models import CascadeMVSNet
 from casmvsnet_pl_tpu.ops import plane_sweep as ps
 from casmvsnet_pl_tpu.utils.devtime import device_time
 
-print("backend:", jax.default_backend(), "barrier:", ps._BARRIER, flush=True)
+print("backend:", jax.default_backend(), "barrier:",
+      os.environ.get("CASMVS_CV_BARRIER", "auto"), flush=True)
 W, H, V, B = 640, 512, 3, 2
 dtype = jnp.bfloat16
 

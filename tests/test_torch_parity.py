@@ -110,8 +110,12 @@ def test_full_model_parity_with_reference(ref_model_cls, num_groups):
                            jnp.asarray(proj), 425.0, 2.65)
     assert (jax.tree.structure(init_vars["params"])
             == jax.tree.structure(jax.tree.map(jnp.asarray, params)))
-    for k, v in jax.tree.leaves_with_path(init_vars["params"]):
-        pass  # structure check above suffices; shapes verified by apply
+    for (path, init_leaf), conv_leaf in zip(
+            jax.tree_util.tree_leaves_with_path(init_vars["params"]),
+            jax.tree.leaves(params)):
+        assert init_leaf.shape == np.shape(conv_leaf), (
+            f"shape mismatch at {jax.tree_util.keystr(path)}: "
+            f"{init_leaf.shape} vs {np.shape(conv_leaf)}")
 
     with jax.default_matmul_precision("float32"):
         ours = model.apply(jax.tree.map(jnp.asarray, variables),

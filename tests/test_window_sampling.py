@@ -154,6 +154,11 @@ def test_block_align_policy():
     assert block_align(8, 864, 1152) == 7
     assert block_align(16, 432, 576) == 3
     assert block_align(32, 216, 288) == 1     # lanes infeasible, stays quad
+    # f32 doubles the table bytes: a level that is quad-fast in bf16 can
+    # exceed the byte budget in f32 and must pack (ADVICE r1)
+    assert block_align(16, 256, 320, itemsize=2) == 1
+    assert block_align(16, 512, 320, itemsize=4) == 3
+    assert block_align(16, 512, 320, itemsize=2) == 1
 
 
 def test_cascade_auto_sampling_runs():
