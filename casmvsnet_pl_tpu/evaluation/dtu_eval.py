@@ -90,40 +90,49 @@ def evaluate_scan(data_pts: np.ndarray, stl_pts: np.ndarray, scan: int = 0,
                   dst: float = 0.2, max_dist: float = 20.0,
                   obs_mask_file: str | None = None,
                   plane_file: str | None = None,
-                  margin: float = 10.0, seed: int = 0) -> DTUScanResult:
+                  margin: float = 10.0, seed: int = 0,
+                  reduce_stl: bool = False) -> DTUScanResult:
     """Evaluate one scan: reconstruction ``data_pts`` vs GT ``stl_pts`` (mm).
 
-    margin: bounding-box dilation in mm (BaseEvalMain_web.m uses the ObsMask
-    BB padded by MaxDist=60 for inclusion, then the mask itself).
+    MATLAB-parity notes (each checked against the .m sources by
+    tests/test_dtu_eval.py's independent line-by-line reimplementation):
+      - only the DATA cloud is thinned; the official stl files ship already
+        reduced to 0.2 mm density and MATLAB uses them as-is
+        (PointCompareMain.m:12 comment). Pass ``reduce_stl=True`` only for
+        non-official GT clouds.
+      - completeness distances run against ALL reduced data points
+        (PointCompareMain.m:26 uses the full Qdata); the box/mask filters
+        apply to which ACCURACY distances are kept, never to the KD-tree
+        targets.
+      - without an ObsMask, out-of-box data points are dropped via a
+        ``margin``-dilated GT bounding box — the fallback analog of
+        MATLAB's Dist=MaxDist clamp for points no chunk covers
+        (MaxDistCP.m:3) followed by the 20 mm cutoff.
     """
     data = reduce_points(np.asarray(data_pts, np.float64), dst, seed)
-    stl = reduce_points(np.asarray(stl_pts, np.float64), dst, seed + 1)
+    stl = np.asarray(stl_pts, np.float64)
+    if reduce_stl:
+        stl = reduce_points(stl, dst, seed + 1)
 
-    # Restrict data points to the GT bounding box (+margin): out-of-box
-    # points are scene background that the GT scanner never observed.
     if obs_mask_file is not None:
         obs_mask, bb, res = _load_obs_mask(obs_mask_file)
-        lo, hi = bb.min(0) - margin, bb.max(0) + margin
-    else:
-        obs_mask = None
-        lo = stl.min(0) - margin
-        hi = stl.max(0) + margin
-    in_box = np.all((data >= lo) & (data <= hi), axis=1)
-    data = data[in_box]
-
-    if obs_mask is not None:
-        # BaseEvalMain_web.m:59-64: quantize to the mask grid, keep points
-        # whose voxel is observed.
-        q = np.round((data - bb[0:1]) / res).astype(np.int64)
-        valid = np.all((q >= 0) & (q < np.array(obs_mask.shape)[None]), axis=1)
+        # BaseEvalMain_web.m / PointCompareMain.m:34-41: quantize to the
+        # mask grid (MATLAB round = half away from zero), keep accuracy
+        # points whose voxel is observed.
+        q = np.floor((data - bb[0:1]) / res + 0.5).astype(np.int64)
+        valid = np.all((q >= 0) & (q < np.array(obs_mask.shape)[None]),
+                       axis=1)
         obs = np.zeros(data.shape[0], bool)
         obs[valid] = obs_mask[q[valid, 0], q[valid, 1], q[valid, 2]] > 0
         data_eval = data[obs]
     else:
-        data_eval = data
+        # fallback: GT bounding box + margin stands in for the ObsMask
+        lo = stl.min(0) - margin
+        hi = stl.max(0) + margin
+        data_eval = data[np.all((data >= lo) & (data <= hi), axis=1)]
 
     if plane_file is not None:
-        # BaseEvalMain_web.m:66: completeness only above the ground plane.
+        # PointCompareMain.m:51: completeness only above the ground plane.
         p = _load_ground_plane(plane_file)
         above = stl @ p[:3] + p[3] > 0
         stl_eval = stl[above]

@@ -24,6 +24,7 @@ import numpy as np
 
 from .consistency import check_geo_consistency
 from .ply import write_ply
+from .spill import SpillCache
 
 
 def upsample_proba(proba: np.ndarray, img_wh: tuple[int, int]) -> np.ndarray:
@@ -50,6 +51,22 @@ def backproject(depth: np.ndarray, mask: np.ndarray, colors: np.ndarray,
     return xyz, rgb
 
 
+class _Keyed:
+    """Namespaced view over a shared :class:`SpillCache`."""
+
+    def __init__(self, cache: SpillCache, tag: str):
+        self._cache, self._tag = cache, tag
+
+    def __contains__(self, vid) -> bool:
+        return (self._tag, vid) in self._cache
+
+    def __getitem__(self, vid):
+        return self._cache[(self._tag, vid)]
+
+    def __setitem__(self, vid, arr) -> None:
+        self._cache[(self._tag, vid)] = arr
+
+
 def fuse_scan(metas: list[tuple[int, list[int]]],
               read_image: Callable[[int], np.ndarray],
               read_depth: Callable[[int], np.ndarray],
@@ -58,17 +75,23 @@ def fuse_scan(metas: list[tuple[int, list[int]]],
               img_wh: tuple[int, int],
               conf: float = 0.999, min_geo_consistent: int = 5,
               max_ref_views: int = 400, skip: int = 1,
-              backend: str = "auto", progress: bool = False):
+              backend: str = "auto", progress: bool = False,
+              cache_bytes: float | None = 4e9):
     """Fuse one scan. metas: [(ref_vid, src_vids), ...].
 
     read_image(vid) -> (H, W, 3) RGB uint8 at img_wh;
     read_depth(vid) -> (H, W) float32 (may raise FileNotFoundError);
     read_proba(vid) -> quarter-res confidence; proj_mat(vid) -> (4, 4).
+    ``cache_bytes`` bounds host RAM for the refined depth/image reuse
+    cache — overflow spills to disk (the reference instead keeps up to
+    20 GB resident at T&T scale, /root/reference/evaluations/README.md:34);
+    None keeps everything in memory.
     Returns (xyz (N, 3) float32, rgb (N, 3) uint8).
     """
     vs, v_colors = [], []
-    refined_images: dict[int, np.ndarray] = {}
-    refined_depths: dict[int, np.ndarray] = {}
+    cache = SpillCache(max_bytes=cache_bytes)
+    refined_images = _Keyed(cache, "img")
+    refined_depths = _Keyed(cache, "dep")
     refined: set[int] = set()
 
     iterator = metas[:max_ref_views]
@@ -126,6 +149,7 @@ def fuse_scan(metas: list[tuple[int, list[int]]],
             print(f"Skipping view {ref_vid}: missing depth prediction")
             continue
 
+    cache.close()
     if not vs:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8))
     return np.vstack(vs), np.vstack(v_colors)

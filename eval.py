@@ -57,6 +57,11 @@ def get_opts(argv=None):
                         help='point subsampling when building the cloud')
     parser.add_argument('--fusion_backend', type=str, default='auto',
                         choices=['auto', 'native', 'numpy'])
+    parser.add_argument('--fusion_cache_gb', type=float, default=4.0,
+                        help='host-RAM budget for the fusion refinement '
+                             'cache; overflow spills to disk (0 = keep '
+                             'everything in memory, like the reference '
+                             'up to ~20 GB at T&T scale)')
     parser.add_argument('--skip_inference', default=False, action='store_true',
                         help='reuse existing depth predictions (fusion only)')
     parser.add_argument('--skip_fusion', default=False, action='store_true')
@@ -186,7 +191,9 @@ def run_fusion(args, dataset, scans):
             read_proba, proj_mat_of(scan), tuple(args.img_wh),
             conf=args.conf, min_geo_consistent=args.min_geo_consistent,
             max_ref_views=args.max_ref_views, skip=args.skip,
-            backend=args.fusion_backend, progress=True)
+            backend=args.fusion_backend, progress=True,
+            cache_bytes=(args.fusion_cache_gb * 1e9
+                         if args.fusion_cache_gb > 0 else None))
         print(f'{scan} contains {n / 1e6:.2f} M points')
     print('Done!')
 

@@ -120,3 +120,37 @@ def test_fuse_scan_missing_views_skipped(scene_views):
         proj_mat=lambda v: P[v],
         img_wh=(64, 64), conf=0.5, min_geo_consistent=1, skip=1)
     assert len(xyz) > 0                      # ref 1 still fused
+
+
+def test_spill_cache_roundtrip(tmp_path):
+    from casmvsnet_pl_tpu.fusion import SpillCache
+    rng = np.random.RandomState(3)
+    arrs = {i: rng.randn(64, 64).astype(np.float32) for i in range(8)}
+    with SpillCache(max_bytes=3 * arrs[0].nbytes,
+                    spill_dir=str(tmp_path)) as c:
+        for k, v in arrs.items():
+            c[k] = v
+        assert c.n_spills > 0                     # budget actually enforced
+        for k, v in arrs.items():                 # spilled entries reload
+            assert k in c
+            np.testing.assert_array_equal(c[k], v)
+        c[2] = arrs[2] * 2                        # overwrite (spilled or not)
+        np.testing.assert_array_equal(c[2], arrs[2] * 2)
+        assert len(c) == 8
+
+
+def test_fuse_scan_spill_cache_equivalent(scene_views):
+    """A tiny cache budget (forcing spills every view) must not change the
+    fused cloud at all — spilling is a memory policy, not an approximation."""
+    scene, P, depths, images = scene_views
+    metas = [(0, [1, 2, 3]), (1, [0, 2, 3]), (2, [0, 1, 3])]
+    kwargs = dict(
+        read_image=lambda v: (scene.render(v) * 255).astype(np.uint8),
+        read_depth=lambda v: depths[v],
+        read_proba=lambda v: np.ones((16, 16), np.float32),
+        proj_mat=lambda v: P[v],
+        img_wh=(64, 64), conf=0.5, min_geo_consistent=2, skip=1)
+    xyz_mem, rgb_mem = fuse_scan(metas, cache_bytes=None, **kwargs)
+    xyz_sp, rgb_sp = fuse_scan(metas, cache_bytes=20_000, **kwargs)
+    np.testing.assert_array_equal(xyz_mem, xyz_sp)
+    np.testing.assert_array_equal(rgb_mem, rgb_sp)
