@@ -1,0 +1,175 @@
+"""Row-gather with a BANDED scatter-add backward for large quad tables.
+
+Why this exists (all numbers measured on v5e, scripts/probe_scatter.py /
+probe_scatter2.py): the TPU scatter engine — the VJP of a row gather — has
+the same rate cliff as the gather engine but keyed on the scatter TARGET
+row count and with lower thresholds: ~7.7 ns/update at <= ~26K target rows,
+~16.7 ns at >= ~31K, ~90 ns past ~1.3M, independent of row width (32..128
+lanes) and dtype. At DTU train resolution the quad sampling tables of
+cascade levels 1 and 0 have 82.5K and 329K rows, so the default
+``jnp.take`` VJP runs the warp backward at the slow rate (~18 ns/row,
+~446 ms of a 675 ms train step).
+
+The fix: plane-sweep gather indices are STRUCTURED — a tile of consecutive
+reference-image rows and consecutive depth hypotheses maps into a bounded
+band of source-table rows (the epipolar drift across a tile is small). The
+custom backward here tiles the updates statically by (depth-group,
+ref-row-block), computes each tile's dynamic band start (min valid index,
+floored to a table-row boundary), scatters into a band-sized buffer that
+sits UNDER the cliff, and accumulates the band into the full gradient
+table with a dynamic-slice read-modify-write. Out-of-image samples carry
+exactly-zero cotangents (their bilinear weights are all zero, so the
+cotangent of their gathered row is zero), so they are clipped into the
+band without affecting correctness; genuine band overflows of VALID
+samples trigger an exact monolithic-scatter fallback via ``lax.cond``.
+Measured end-to-end at level-0 geometry: 8.8-9.2 ns/update, 23 ms vs
+41 ms monolithic (1.78x), with the fallback verified exact.
+
+The forward is byte-identical to the plain path in
+``plane_sweep._gather_view`` (batch-folded single gather when the folded
+table stays under the gather fast-regime byte limit, else one gather per
+batch element).
+
+Reference behavior being accelerated: the backward of the reference's
+``F.grid_sample`` inside ``homo_warp`` (/root/reference/models/modules.py:87-89).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+# Scatter-rate cliff by TARGET row count (scripts/probe_scatter2.py fine
+# sweep: 7.8 ns/upd at 26K rows, 16.9 ns at 31K).
+_SCATTER_FAST_ROWS = 26_000
+# Gather fold limit — must match plane_sweep._FOLD_LIMIT so the forward is
+# byte-identical with the default path.
+_GATHER_FOLD_LIMIT = 24 * 1024 * 1024
+
+
+def banded_cfg(Hq: int, Wq: int, D: int, H: int, W: int):
+    """Static banding parameters for a level, or None to use the default VJP.
+
+    Returns (tile_rows, band_rows, d_split): reference-image rows per tile,
+    source-table rows per band (band_rows * Wq scatter-target rows, kept
+    under the cliff), and the number of depth-axis groups (bounding the
+    epipolar drift per tile so bands hold on real geometry).
+    """
+    if os.environ.get("CASMVS_BANDED_BWD", "1") == "0":
+        return None
+    if Hq * Wq <= _SCATTER_FAST_ROWS:
+        return None                       # already in the fast regime
+    band_rows = min(Hq, (_SCATTER_FAST_ROWS // Wq) // 8 * 8)
+    if band_rows < 16:
+        return None                       # band too thin to cover any drift
+    if H % 16 == 0:
+        tile_rows = 16
+    elif H % 8 == 0:
+        tile_rows = 8
+    else:
+        return None
+    # Depth groups of <= 8 consecutive hypotheses: the cascade's recentered
+    # windows drift sub-pixel per hypothesis, so 8 stay well inside a band.
+    d_split = D // 8 if (D % 8 == 0 and D > 8) else 1
+    return tile_rows, band_rows, d_split
+
+
+def _banded_grad_one(idx_b: Array, valid_b: Array, g_b: Array, D: int,
+                     H: int, W: int, Hq: int, Wq: int, tile_rows: int,
+                     band_rows: int, d_split: int) -> Array:
+    """Banded scatter-add of one batch element's cotangents.
+
+    idx_b: (N,) int32 table-row targets, N = D*H*W; valid_b: (N,) bool
+    (False rows carry zero cotangent); g_b: (N, L). Returns (Hq*Wq, L) f32.
+    """
+    L = g_b.shape[-1]
+    n_tiles = H // tile_rows
+    gd = D // d_split
+    nt = d_split * n_tiles
+    bz = band_rows * Wq
+    m = gd * tile_rows * W                # updates per tile
+
+    def tiled(a):
+        a = a.reshape((d_split, gd, n_tiles, tile_rows, W) + a.shape[1:])
+        a = jnp.moveaxis(a, 2, 1)         # (d_split, n_tiles, gd, tr, W, ...)
+        return a.reshape((nt, m) + a.shape[5:])
+
+    idx_t = tiled(idx_b)                  # (nt, m)
+    val_t = tiled(valid_b)                # (nt, m)
+    g_t = tiled(g_b.astype(jnp.float32))  # (nt, m, L)
+
+    big = jnp.int32(np.iinfo(np.int32).max)
+    min_valid = jnp.min(jnp.where(val_t, idx_t, big), axis=1)   # (nt,)
+    start_row = jnp.clip(min_valid // Wq, 0, Hq - 1)            # (nt,)
+    start = start_row * Wq
+    local = idx_t - start[:, None]
+    overflow = jnp.any(val_t & ((local < 0) | (local >= bz)))
+    local = jnp.clip(local, 0, bz - 1)    # invalid samples: zero g, any slot
+
+    def one_tile(t, table):
+        loc = jax.lax.dynamic_index_in_dim(local, t, 0, keepdims=False)
+        u = jax.lax.dynamic_index_in_dim(g_t, t, 0, keepdims=False)
+        band = jnp.zeros((bz, L), jnp.float32).at[loc].add(u)
+        s = jax.lax.dynamic_index_in_dim(start, t, 0, keepdims=False)
+        cur = jax.lax.dynamic_slice(table, (s, 0), (bz, L))
+        return jax.lax.dynamic_update_slice(table, cur + band, (s, 0))
+
+    def fast(_):
+        table = jnp.zeros((Hq * Wq + bz, L), jnp.float32)       # band guard
+        table = jax.lax.fori_loop(0, nt, one_tile, table)
+        return table[:Hq * Wq]
+
+    def slow(_):
+        return (jnp.zeros((Hq * Wq, L), jnp.float32)
+                .at[idx_b].add(g_b.astype(jnp.float32)))
+
+    return jax.lax.cond(overflow, slow, fast, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def take_quad_banded(geom, tables: Array, idx: Array,
+                     valid: Array) -> Array:
+    """Gather quad/table rows with the banded backward.
+
+    geom: static (D, H, W, tile_rows, band_rows, d_split).
+    tables: (B, Hq, Wq, L); idx: (B, N) per-batch-local row indices,
+    N = D*H*W; valid: (B, N) bool, False where ALL the sample's bilinear
+    taps have zero weight (such rows receive exactly-zero cotangents).
+    Returns rows (B, N, L) in tables.dtype.
+    """
+    B, Hq, Wq, L = tables.shape
+    if tables.size * tables.dtype.itemsize <= _GATHER_FOLD_LIMIT or B == 1:
+        flat = tables.reshape(B * Hq * Wq, L)
+        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Hq * Wq))[:, None]
+        return jnp.take(flat, fidx.reshape(-1), axis=0).reshape(B, -1, L)
+    return jnp.stack([
+        jnp.take(tables[b].reshape(Hq * Wq, L), idx[b], axis=0)
+        for b in range(B)])
+
+
+def _tqb_fwd(geom, tables, idx, valid):
+    return take_quad_banded(geom, tables, idx, valid), (tables, idx, valid)
+
+
+def _tqb_bwd(geom, res, g):
+    tables, idx, valid = res
+    D, H, W, tile_rows, band_rows, d_split = geom
+    B, Hq, Wq, L = tables.shape
+    g = g.reshape(B, -1, L)
+    grads = jnp.stack([
+        _banded_grad_one(idx[b], valid[b], g[b], D, H, W, Hq, Wq,
+                         tile_rows, band_rows, d_split)
+        for b in range(B)])
+    gt = grads.reshape(B, Hq, Wq, L).astype(tables.dtype)
+    zero = np.zeros((), dtype=jax.dtypes.float0)
+    return (gt,
+            np.broadcast_to(zero, idx.shape),
+            np.broadcast_to(zero, valid.shape))
+
+
+take_quad_banded.defvjp(_tqb_fwd, _tqb_bwd)

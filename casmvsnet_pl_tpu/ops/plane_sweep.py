@@ -61,6 +61,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .banded_take import banded_cfg, take_quad_banded
 from .geometry import project_to_src
 from .grid_sample import (grid_sample, grid_sample_quad, pack_blocks,
                           pack_quad, pack_strips, quad_weights)
@@ -127,17 +128,28 @@ def _gather_view(src_quad: Array, proj_mat: Array, depth_values: Array,
     """Gather quad rows + tap weights for one source view.
 
     Issues ONE batch-folded gather when the folded table stays in the fast
-    regime, else one gather per batch element (see module docstring).
+    regime, else one gather per batch element (see module docstring). When
+    the table is past the SCATTER cliff (~26K target rows), the gather runs
+    through :func:`ops.banded_take.take_quad_banded`, whose custom backward
+    scatters cotangents in per-tile dynamic bands at the fast scatter rate
+    (the 446 ms -> ~220 ms warp-backward lever, scripts/probe_scatter2.py).
 
     src_quad: (B, H+1, W+1, 4C) -> rows (B, N, 4C), w4 (B, N, 4) f32,
     N = D*H*W.
     """
     B, Hq, Wq, C4 = src_quad.shape
+    D = depth_values.shape[1]
     coords = jax.vmap(
         lambda p, d: project_to_src(p, d, height, width))(proj_mat,
                                                           depth_values)
     w4, y0i, x0i = quad_weights(coords, height, width)
     idx = (y0i * Wq + x0i).reshape(B, -1)                 # (B, N)
+    bcfg = banded_cfg(Hq, Wq, D, height, width)
+    if bcfg is not None:
+        valid = (jnp.max(w4, axis=-1) > 0).reshape(B, -1)
+        geom = (D, height, width) + bcfg
+        rows = take_quad_banded(geom, src_quad, idx, valid)
+        return rows, w4.reshape(B, -1, 4)
     table_bytes = B * Hq * Wq * C4 * src_quad.dtype.itemsize
     if table_bytes <= _FOLD_LIMIT or B == 1:
         flat = src_quad.reshape(B * Hq * Wq, C4)
