@@ -229,6 +229,22 @@ def pack_blocks(feat: Array, align: int) -> Array:
     return _extract_patches(p[None], 2, align + 1, stride_w=align)[0]
 
 
+def pack_patches(feat: Array, ph: int, pw: int) -> Array:
+    """(H, W, C) -> (H+2, W+2, ph*pw*C) stride-1 patch table.
+
+    Entry [yi, xi] holds the ph x pw patch of zero-padded feat anchored at
+    floor coords (yi-1, xi-1): lane (dy*pw + dx)*C + c = feat[yi-1+dy,
+    xi-1+dx, c], zeros outside the image. One gathered row then provides
+    EXACT bilinear taps for every sample whose 2x2 support falls inside the
+    patch — a whole group of consecutive plane-sweep depth hypotheses when
+    the group's coordinate span fits (see ops/plane_sweep.patch_config).
+    The guard ring (one row/col before, ph/pw after) makes floor coords
+    from -1 through H-1 resolve in-bounds with correct zeros padding.
+    """
+    p = jnp.pad(feat, ((1, ph), (1, pw), (0, 0)))
+    return _extract_patches(p[None], ph, pw)[0]
+
+
 def pack_strips(feat: Array, strip_w: int, window_h: int) -> Array:
     """(H, W, C) -> (H+window_h, W+1, strip_w*C) horizontal-strip table.
 

@@ -64,7 +64,7 @@ import numpy as np
 from .banded_take import banded_cfg, take_quad_banded
 from .geometry import project_to_src
 from .grid_sample import (grid_sample, grid_sample_quad, pack_blocks,
-                          pack_quad, pack_strips, quad_weights)
+                          pack_patches, pack_quad, pack_strips, quad_weights)
 
 Array = jax.Array
 
@@ -303,6 +303,127 @@ def _window_view(src_strips: Array, proj_mat: Array, depth_values: Array,
     return o.reshape(B, D, hw, C)
 
 
+def patch_config(C: int, D: int):
+    """Patch-shared sampling config for a level, or None if infeasible.
+
+    Patch sampling gathers ONE stride-1 ph x pw patch row (ph*pw*C <= 128
+    lanes) per group of g consecutive depth hypotheses instead of one quad
+    row per (pixel, depth): the recentered hypothesis windows of the fine
+    cascade levels are epipolar-tight, so a whole group's bilinear supports
+    usually fit a 4x4 patch (measured fit rates ~1.0 for DTU-like rigs at
+    baselines <= ~50-100 mm, scripts/probe_patch.py spans). Feasible only
+    for C <= 8 — the finest cascade level in the reference architecture.
+    ``groups`` lists candidate group sizes largest-first; the sampler picks
+    the largest whose spans fit AT RUNTIME and falls back to exact quad
+    sampling otherwise (lax.cond), so the result is exact for ANY geometry.
+    On v5e at train-res level 0 this measures 18.4 -> 13.5 ms/view forward
+    and cuts backward scatter updates g-fold (scripts/probe_patch2.py).
+    """
+    ph = pw = 4
+    if ph * pw * C > 128:
+        return None
+    groups = tuple(g for g in (8, 4) if D % g == 0 and g <= D)
+    if not groups:
+        return None
+    return {"ph": ph, "pw": pw, "groups": groups}
+
+
+def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
+                height: int, width: int, ph: int, pw: int,
+                groups) -> Array:
+    """Warp one source view via patch-shared gathers: exact for any geometry.
+
+    table: (B, H+2, W+2, ph*pw*C) from pack_patches. One gathered patch row
+    serves a whole group of g consecutive depth hypotheses; each sample is
+    extracted with hat weights on constant lane iotas + one stacked-identity
+    MXU matmul (the validfold epilogue, scripts/probe_patch2.py). A nested
+    lax.cond tries each group size in ``groups`` (largest first): a group
+    size is usable only when EVERY valid sample's bilinear support fits its
+    group's patch; otherwise the view falls back to the exact packed-quad
+    path (the original features are recovered from the table's (0,0) lanes),
+    so no geometry is ever approximated.
+
+    Returns (B, D, H*W, C) float32 sampled features.
+    """
+    B, Ht, Wt, L = table.shape
+    C = L // (ph * pw)
+    D = depth_values.shape[1]
+    hw = height * width
+    dtype = table.dtype
+
+    coords = jax.vmap(
+        lambda p, d: project_to_src(p, d, height, width))(proj_mat,
+                                                          depth_values)
+    xf = coords[..., 0].astype(jnp.float32).reshape(B, D, hw)
+    yf = coords[..., 1].astype(jnp.float32).reshape(B, D, hw)
+    validf = ((xf > -1.0) & (xf < float(width)) &
+              (yf > -1.0) & (yf < float(height)))
+
+    lane = np.arange(L)
+    dxl = jnp.asarray(((lane // C) % pw).astype(np.float32))
+    dyl = jnp.asarray((lane // (pw * C)).astype(np.float32))
+    kmat = jnp.asarray(_identity_stack(C, ph * pw), dtype)
+
+    def grouped(g: int):
+        """Group coords + patch origins + whether every group fits."""
+        ng = D // g
+        x = xf.reshape(B, ng, g, hw)
+        y = yf.reshape(B, ng, g, hw)
+        valid = validf.reshape(B, ng, g, hw)
+        big = jnp.float32(1e9)
+        x_org = jnp.clip(jnp.floor(jnp.min(jnp.where(valid, x, big), axis=2)),
+                         -1.0, width - 1.0)
+        y_org = jnp.clip(jnp.floor(jnp.min(jnp.where(valid, y, big), axis=2)),
+                         -1.0, height - 1.0)
+        fit = jnp.all(~valid | ((x - x_org[:, :, None] <= pw - 1.0) &
+                                (y - y_org[:, :, None] <= ph - 1.0)))
+        return x, y, valid, x_org, y_org, fit
+
+    def patch_branch(g, x, y, valid, x_org, y_org):
+        ng = D // g
+        xi = x_org.astype(jnp.int32) + 1
+        yi = y_org.astype(jnp.int32) + 1
+        idx = (yi * Wt + xi).reshape(B, -1)                  # (B, ng*hw)
+        table_bytes = B * Ht * Wt * L * table.dtype.itemsize
+        if table_bytes <= _FOLD_LIMIT or B == 1:
+            flat = table.reshape(B * Ht * Wt, L)
+            fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Ht * Wt))[:, None]
+            rows = jnp.take(flat, fidx.reshape(-1), axis=0)
+        else:
+            rows = jnp.stack([
+                jnp.take(table[b].reshape(Ht * Wt, L), idx[b], axis=0)
+                for b in range(B)])
+        rows = rows.reshape(B, ng, 1, hw, L)
+        # validfold epilogue: the valid mask folds into fx (invalid -> -9 ->
+        # hat 0), saving one (N, L) multiply (scripts/probe_patch2.py epi).
+        fx = jnp.where(valid,
+                       jnp.clip(x - x_org[:, :, None], 0.0, pw - 1.0),
+                       -9.0)[..., None]
+        fy = jnp.clip(y - y_org[:, :, None], 0.0, ph - 1.0)[..., None]
+        w = (jnp.maximum(0.0, 1.0 - jnp.abs(fx - dxl)) *
+             jnp.maximum(0.0, 1.0 - jnp.abs(fy - dyl)))
+        prod = rows * w.astype(dtype)
+        o = jax.lax.dot_general(
+            prod.reshape(B, D * hw, L), kmat,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return o.reshape(B, D, hw, C)
+
+    def quad_branch():
+        feat = table[:, 1:height + 1, 1:width + 1, :C]
+        quad = jax.vmap(pack_quad)(feat)
+        rows, w4 = _gather_view(quad, proj_mat, depth_values, height, width)
+        return _tap_reduce(rows, w4).reshape(B, D, hw, C)
+
+    fn = quad_branch
+    for g in sorted(groups):            # build inside-out: largest g outermost
+        x, y, valid, x_org, y_org, fit = grouped(g)
+        fn = (lambda inner, fit=fit, args=(g, x, y, valid, x_org, y_org):
+              lambda: jax.lax.cond(fit, lambda: patch_branch(*args), inner)
+              )(fn)
+    return fn()
+
+
 @functools.lru_cache(maxsize=16)
 def _group_mean_matrix(C: int, groups: int):
     """(C, G) matrix averaging channels within each group (host constant)."""
@@ -352,13 +473,19 @@ def _resolve_sampling(sampling, C: int, D: int, H: int, W: int,
     a wider epilogue; exact only while group spans fit the window) and
     falls back to the auto policy elsewhere.
     """
-    if sampling not in ("quad", "auto", "window"):
+    if sampling not in ("quad", "auto", "window", "patch"):
         raise ValueError(f"unknown sampling mode {sampling!r}")
     if sampling == "window":
         cfg = window_config(C, D)
         if cfg is not None:
             _warn_window_once()
             return {"mode": "window", **cfg}
+    if sampling == "patch":
+        cfg = patch_config(C, D)
+        # patch tables ((H+2)x(W+2) rows, 128 lanes) must stay in the gather
+        # fast regime; past the row cliff the auto/block policy wins anyway.
+        if cfg is not None and (H + 2) * (W + 2) <= _ROW_THRESH:
+            return {"mode": "patch", **cfg}
     if sampling != "quad":
         a = block_align(C, H, W, itemsize)
         if a > 1:
@@ -385,6 +512,9 @@ def _pack_tables(srcs: Array, cfg):
     if cfg["mode"] == "block":
         return jax.vmap(jax.vmap(
             lambda f: pack_blocks(f, cfg["align"])))(srcs)
+    if cfg["mode"] == "patch":
+        return jax.vmap(jax.vmap(
+            lambda f: pack_patches(f, cfg["ph"], cfg["pw"])))(srcs)
     return jax.vmap(jax.vmap(
         lambda f: pack_strips(f, cfg["strip_w"], cfg["window_h"])))(srcs)
 
@@ -463,6 +593,9 @@ def _sample_view(tables_v: Array, proj_mat_v: Array, depth_values: Array,
     if cfg["mode"] == "block":
         return _block_view(tables_v, proj_mat_v, depth_values, height,
                            width, cfg["align"])
+    if cfg["mode"] == "patch":
+        return _patch_view(tables_v, proj_mat_v, depth_values, height,
+                           width, cfg["ph"], cfg["pw"], cfg["groups"])
     return _window_view(tables_v, proj_mat_v, depth_values, height, width,
                         cfg["strip_w"], cfg["window_h"], cfg["depth_group"])
 

@@ -78,7 +78,7 @@ def get_opts(argv=None):
                              'lower peak memory; the TPU analog of the '
                              "reference's InPlace-ABN memory trick)")
     parser.add_argument('--sampling', type=str, default='auto',
-                        choices=['auto', 'quad', 'window'],
+                        choices=['auto', 'quad', 'window', 'patch'],
                         help='plane-sweep sampling strategy (see '
                              'ops/plane_sweep.py; auto=quad on v5e)')
     parser.add_argument('--num_workers', type=int, default=4)

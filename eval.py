@@ -46,7 +46,7 @@ def get_opts(argv=None):
                         choices=['bf16', 'f32'])
     # point cloud fusion
     parser.add_argument('--sampling', type=str, default='auto',
-                        choices=['auto', 'quad', 'window'],
+                        choices=['auto', 'quad', 'window', 'patch'],
                         help='plane-sweep sampling strategy')
     parser.add_argument('--conf', type=float, default=0.999,
                         help='min confidence for a pixel to be valid')
