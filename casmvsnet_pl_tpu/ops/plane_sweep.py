@@ -364,19 +364,39 @@ def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
     dyl = jnp.asarray((lane // (pw * C)).astype(np.float32))
     kmat = jnp.asarray(_identity_stack(C, ph * pw), dtype)
 
+    # Per-group coordinate stats, computed ONCE at the finest group size and
+    # combined pairwise for coarser groups — one masked min/max pass over the
+    # (B, D, hw) coords instead of one per candidate g. A group with no valid
+    # sample gets min=+big / max=-big and trivially "fits" (all-zero weights).
+    big = jnp.float32(1e9)
+    g0 = min(groups)
+    base = []
+    for a in (xf, yf):
+        ar = a.reshape(B, D // g0, g0, hw)
+        vr = validf.reshape(B, D // g0, g0, hw)
+        base.append(jnp.min(jnp.where(vr, ar, big), axis=2))
+        base.append(jnp.max(jnp.where(vr, ar, -big), axis=2))
+    stats = {g0: tuple(base)}                 # (minx, maxx, miny, maxy)
+    for g in sorted(groups):
+        if g == g0:
+            continue
+        k = g // g0
+        stats[g] = tuple(
+            (jnp.min if i % 2 == 0 else jnp.max)(
+                a.reshape(B, D // g, k, hw), axis=2)
+            for i, a in enumerate(stats[g0]))
+
     def grouped(g: int):
         """Group coords + patch origins + whether every group fits."""
         ng = D // g
         x = xf.reshape(B, ng, g, hw)
         y = yf.reshape(B, ng, g, hw)
         valid = validf.reshape(B, ng, g, hw)
-        big = jnp.float32(1e9)
-        x_org = jnp.clip(jnp.floor(jnp.min(jnp.where(valid, x, big), axis=2)),
-                         -1.0, width - 1.0)
-        y_org = jnp.clip(jnp.floor(jnp.min(jnp.where(valid, y, big), axis=2)),
-                         -1.0, height - 1.0)
-        fit = jnp.all(~valid | ((x - x_org[:, :, None] <= pw - 1.0) &
-                                (y - y_org[:, :, None] <= ph - 1.0)))
+        minx, maxx, miny, maxy = stats[g]
+        x_org = jnp.clip(jnp.floor(minx), -1.0, width - 1.0)
+        y_org = jnp.clip(jnp.floor(miny), -1.0, height - 1.0)
+        fit = jnp.all((maxx - x_org <= pw - 1.0) &
+                      (maxy - y_org <= ph - 1.0))
         return x, y, valid, x_org, y_org, fit
 
     def patch_branch(g, x, y, valid, x_org, y_org):
@@ -384,15 +404,26 @@ def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
         xi = x_org.astype(jnp.int32) + 1
         yi = y_org.astype(jnp.int32) + 1
         idx = (yi * Wt + xi).reshape(B, -1)                  # (B, ng*hw)
-        table_bytes = B * Ht * Wt * L * table.dtype.itemsize
-        if table_bytes <= _FOLD_LIMIT or B == 1:
-            flat = table.reshape(B * Ht * Wt, L)
-            fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Ht * Wt))[:, None]
-            rows = jnp.take(flat, fidx.reshape(-1), axis=0)
+        bcfg = banded_cfg(Ht, Wt, ng, height, width)
+        if bcfg is not None:
+            # patch tables are past the scatter cliff like quad tables; the
+            # banded backward applies unchanged with D -> ng "depth" groups.
+            # A group's gathered row carries exactly-zero cotangent iff NO
+            # sample in the group is valid (all hat weights are then zero).
+            valid_g = jnp.any(valid, axis=2).reshape(B, -1)
+            rows = take_quad_banded((ng, height, width) + bcfg,
+                                    table, idx, valid_g)
         else:
-            rows = jnp.stack([
-                jnp.take(table[b].reshape(Ht * Wt, L), idx[b], axis=0)
-                for b in range(B)])
+            table_bytes = B * Ht * Wt * L * table.dtype.itemsize
+            if table_bytes <= _FOLD_LIMIT or B == 1:
+                flat = table.reshape(B * Ht * Wt, L)
+                fidx = idx + (jnp.arange(B, dtype=jnp.int32)
+                              * (Ht * Wt))[:, None]
+                rows = jnp.take(flat, fidx.reshape(-1), axis=0)
+            else:
+                rows = jnp.stack([
+                    jnp.take(table[b].reshape(Ht * Wt, L), idx[b], axis=0)
+                    for b in range(B)])
         rows = rows.reshape(B, ng, 1, hw, L)
         # validfold epilogue: the valid mask folds into fx (invalid -> -9 ->
         # hat 0), saving one (N, L) multiply (scripts/probe_patch2.py epi).

@@ -135,6 +135,23 @@ def test_patch_gradients_on_fallback_geometry():
     np.testing.assert_allclose(np.asarray(gq), np.asarray(gp), atol=2e-6)
 
 
+def test_patch_banded_backward_matches_quad(monkeypatch):
+    # force the banded-scatter backward inside the patch branch (at real
+    # train-res the 333K-row patch table engages it; test tables are tiny,
+    # so substitute a small band config) and pin gradients against quad
+    monkeypatch.setattr(ps, "banded_cfg",
+                        lambda Hq, Wq, D, H, W: (8, 16, 1))
+    feats, proj, dv = _scene(np.random.RandomState(13), B=1, H=16, W=24)
+
+    def loss(f, sampling):
+        return jnp.sum(build_cost_volume(f, proj, dv, remat=False,
+                                         sampling=sampling) ** 2)
+
+    gq = jax.grad(lambda f: loss(f, "quad"))(feats)
+    gp = jax.grad(lambda f: loss(f, "patch"))(feats)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gp), atol=2e-6)
+
+
 def test_patch_infeasible_falls_back():
     # C=16 exceeds the 128-lane patch budget: "patch" resolves to the auto
     # policy so the mode can be requested model-wide.
