@@ -131,6 +131,27 @@ def _banded_grad_one(idx_b: Array, valid_b: Array, g_b: Array, D: int,
     return jax.lax.cond(overflow, slow, fast, None)
 
 
+def banded_scatter_add(geom, Hq: int, Wq: int, idx: Array, valid: Array,
+                       updates: Array) -> Array:
+    """Batched banded scatter-add: the backward half of take_quad_banded,
+    exposed for custom VJPs that build their own cotangent rows (e.g. the
+    patch sampler's hand-written backward, plane_sweep._patch_view).
+
+    geom: static (D, H, W, tile_rows, band_rows, d_split) as in banded_cfg;
+    idx: (B, N) int32 table-row targets; valid: (B, N) bool (False rows
+    must carry zero updates); updates: (B, N, L). Returns (B, Hq, Wq, L)
+    float32 accumulated gradients.
+    """
+    D, H, W, tile_rows, band_rows, d_split = geom
+    B = idx.shape[0]
+    L = updates.shape[-1]
+    grads = jnp.stack([
+        _banded_grad_one(idx[b], valid[b], updates[b].reshape(-1, L),
+                         D, H, W, Hq, Wq, tile_rows, band_rows, d_split)
+        for b in range(B)])
+    return grads.reshape(B, Hq, Wq, L)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def take_quad_banded(geom, tables: Array, idx: Array,
                      valid: Array) -> Array:
@@ -158,14 +179,9 @@ def _tqb_fwd(geom, tables, idx, valid):
 
 def _tqb_bwd(geom, res, g):
     tables, idx, valid = res
-    D, H, W, tile_rows, band_rows, d_split = geom
     B, Hq, Wq, L = tables.shape
     g = g.reshape(B, -1, L)
-    grads = jnp.stack([
-        _banded_grad_one(idx[b], valid[b], g[b], D, H, W, Hq, Wq,
-                         tile_rows, band_rows, d_split)
-        for b in range(B)])
-    gt = grads.reshape(B, Hq, Wq, L).astype(tables.dtype)
+    gt = banded_scatter_add(geom, Hq, Wq, idx, valid, g).astype(tables.dtype)
     zero = np.zeros((), dtype=jax.dtypes.float0)
     return (gt,
             np.broadcast_to(zero, idx.shape),

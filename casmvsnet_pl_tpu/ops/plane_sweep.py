@@ -343,26 +343,27 @@ def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
     path (the original features are recovered from the table's (0,0) lanes),
     so no geometry is ever approximated.
 
+    Differentiation: a hand-written custom VJP (:func:`_patch_sample`).
+    Gradients flow to the TABLE only; the projected coordinates are
+    treated as non-differentiable (in this architecture they are: the
+    cascade recenters hypotheses on a gradient-stopped previous depth,
+    models/cascade.py, matching /root/reference/models/mvsnet.py:233).
+
     Returns (B, D, H*W, C) float32 sampled features.
     """
     B, Ht, Wt, L = table.shape
     C = L // (ph * pw)
     D = depth_values.shape[1]
     hw = height * width
-    dtype = table.dtype
 
     coords = jax.vmap(
         lambda p, d: project_to_src(p, d, height, width))(proj_mat,
                                                           depth_values)
+    coords = jax.lax.stop_gradient(coords)
     xf = coords[..., 0].astype(jnp.float32).reshape(B, D, hw)
     yf = coords[..., 1].astype(jnp.float32).reshape(B, D, hw)
     validf = ((xf > -1.0) & (xf < float(width)) &
               (yf > -1.0) & (yf < float(height)))
-
-    lane = np.arange(L)
-    dxl = jnp.asarray(((lane // C) % pw).astype(np.float32))
-    dyl = jnp.asarray((lane // (pw * C)).astype(np.float32))
-    kmat = jnp.asarray(_identity_stack(C, ph * pw), dtype)
 
     # Per-group coordinate stats, computed ONCE at the finest group size and
     # combined pairwise for coarser groups — one masked min/max pass over the
@@ -386,73 +387,207 @@ def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
                 a.reshape(B, D // g, k, hw), axis=2)
             for i, a in enumerate(stats[g0]))
 
-    def grouped(g: int):
-        """Group coords + patch origins + whether every group fits."""
-        ng = D // g
-        x = xf.reshape(B, ng, g, hw)
-        y = yf.reshape(B, ng, g, hw)
-        valid = validf.reshape(B, ng, g, hw)
+    per_g = {}
+    for g in groups:
         minx, maxx, miny, maxy = stats[g]
         x_org = jnp.clip(jnp.floor(minx), -1.0, width - 1.0)
         y_org = jnp.clip(jnp.floor(miny), -1.0, height - 1.0)
         fit = jnp.all((maxx - x_org <= pw - 1.0) &
                       (maxy - y_org <= ph - 1.0))
-        return x, y, valid, x_org, y_org, fit
+        per_g[g] = (x_org, y_org, fit)
 
-    def patch_branch(g, x, y, valid, x_org, y_org):
+    ops = {"x": xf, "y": yf, "valid": validf, "per_g": per_g}
+    static = (height, width, ph, pw, tuple(sorted(groups)), D,
+              Ht, Wt, L, str(table.dtype))
+    return _patch_sample(static, table, ops)
+
+
+def _patch_gather(table: Array, idx: Array) -> Array:
+    """Fold-or-unroll row gather shared by the patch forward paths."""
+    B, Ht, Wt, L = table.shape
+    if table.size * table.dtype.itemsize <= _FOLD_LIMIT or B == 1:
+        flat = table.reshape(B * Ht * Wt, L)
+        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Ht * Wt))[:, None]
+        return jnp.take(flat, fidx.reshape(-1), axis=0).reshape(B, -1, L)
+    return jnp.stack([
+        jnp.take(table[b].reshape(Ht * Wt, L), idx[b], axis=0)
+        for b in range(B)])
+
+
+def _patch_hats(x, y, valid, x_org, y_org, ph, pw, C, dtype):
+    """validfold hat weights: (B, ng, g, hw, ph*pw*C) in the feature dtype.
+
+    The valid mask folds into fx (invalid -> -9 -> hat 0), saving one
+    (N, L) multiply (scripts/probe_patch2.py epi A/B).
+    """
+    L = ph * pw * C
+    lane = np.arange(L)
+    dxl = jnp.asarray(((lane // C) % pw).astype(np.float32))
+    dyl = jnp.asarray((lane // (pw * C)).astype(np.float32))
+    fx = jnp.where(valid,
+                   jnp.clip(x - x_org[:, :, None], 0.0, pw - 1.0),
+                   -9.0)[..., None]
+    fy = jnp.clip(y - y_org[:, :, None], 0.0, ph - 1.0)[..., None]
+    w = (jnp.maximum(0.0, 1.0 - jnp.abs(fx - dxl)) *
+         jnp.maximum(0.0, 1.0 - jnp.abs(fy - dyl)))
+    return w.astype(dtype)
+
+
+def _patch_nested_cond(groups_desc, per_g, patch_fn, fallback_fn):
+    """cond(fit_g_max, patch, cond(fit_next, patch, ... fallback))."""
+    fn = fallback_fn
+    for g in sorted(groups_desc):       # build inside-out: largest outermost
+        fit = per_g[g][2]
+        fn = (lambda inner, fit=fit, g=g:
+              lambda: jax.lax.cond(fit, lambda: patch_fn(g), inner))(fn)
+    return fn()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _patch_sample(static, table: Array, ops) -> Array:
+    """Patch-shared sampling with a HAND-WRITTEN backward.
+
+    Autodiff through the nested lax.cond stores the union of both branches'
+    residuals (gathered rows, hat weights, the fallback's quad table) —
+    several GB at train resolution, which erased the patch win inside the
+    composed train step (599 -> 618 ms measured). This custom VJP keeps
+    only the (B, D, hw) coordinate arrays as residuals and rebuilds the
+    hat weights in the backward, scattering cotangent rows through
+    ops.banded_take.banded_scatter_add at the fast scatter rate.
+
+    Gradients flow to ``table`` only; ``ops`` coordinates are
+    gradient-stopped by the caller (_patch_view).
+    """
+    height, width, ph, pw, groups, D, Ht, Wt, L, _ = static
+    B = table.shape[0]
+    C = L // (ph * pw)
+    hw = height * width
+    dtype = table.dtype
+    kmat = jnp.asarray(_identity_stack(C, ph * pw), dtype)
+
+    def patch_fwd(g):
         ng = D // g
+        x = ops["x"].reshape(B, ng, g, hw)
+        y = ops["y"].reshape(B, ng, g, hw)
+        valid = ops["valid"].reshape(B, ng, g, hw)
+        x_org, y_org, _ = ops["per_g"][g]
         xi = x_org.astype(jnp.int32) + 1
         yi = y_org.astype(jnp.int32) + 1
         idx = (yi * Wt + xi).reshape(B, -1)                  # (B, ng*hw)
-        bcfg = banded_cfg(Ht, Wt, ng, height, width)
-        if bcfg is not None:
-            # patch tables are past the scatter cliff like quad tables; the
-            # banded backward applies unchanged with D -> ng "depth" groups.
-            # A group's gathered row carries exactly-zero cotangent iff NO
-            # sample in the group is valid (all hat weights are then zero).
-            valid_g = jnp.any(valid, axis=2).reshape(B, -1)
-            rows = take_quad_banded((ng, height, width) + bcfg,
-                                    table, idx, valid_g)
-        else:
-            table_bytes = B * Ht * Wt * L * table.dtype.itemsize
-            if table_bytes <= _FOLD_LIMIT or B == 1:
-                flat = table.reshape(B * Ht * Wt, L)
-                fidx = idx + (jnp.arange(B, dtype=jnp.int32)
-                              * (Ht * Wt))[:, None]
-                rows = jnp.take(flat, fidx.reshape(-1), axis=0)
-            else:
-                rows = jnp.stack([
-                    jnp.take(table[b].reshape(Ht * Wt, L), idx[b], axis=0)
-                    for b in range(B)])
-        rows = rows.reshape(B, ng, 1, hw, L)
-        # validfold epilogue: the valid mask folds into fx (invalid -> -9 ->
-        # hat 0), saving one (N, L) multiply (scripts/probe_patch2.py epi).
-        fx = jnp.where(valid,
-                       jnp.clip(x - x_org[:, :, None], 0.0, pw - 1.0),
-                       -9.0)[..., None]
-        fy = jnp.clip(y - y_org[:, :, None], 0.0, ph - 1.0)[..., None]
-        w = (jnp.maximum(0.0, 1.0 - jnp.abs(fx - dxl)) *
-             jnp.maximum(0.0, 1.0 - jnp.abs(fy - dyl)))
-        prod = rows * w.astype(dtype)
+        rows = _patch_gather(table, idx).reshape(B, ng, 1, hw, L)
+        w = _patch_hats(x, y, valid, x_org, y_org, ph, pw, C, dtype)
+        prod = rows * w
         o = jax.lax.dot_general(
             prod.reshape(B, D * hw, L), kmat,
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return o.reshape(B, D, hw, C)
 
-    def quad_branch():
+    def quad_fwd():
         feat = table[:, 1:height + 1, 1:width + 1, :C]
         quad = jax.vmap(pack_quad)(feat)
-        rows, w4 = _gather_view(quad, proj_mat, depth_values, height, width)
-        return _tap_reduce(rows, w4).reshape(B, D, hw, C)
+        xy = jnp.stack([ops["x"], ops["y"]], axis=-1)        # (B, D, hw, 2)
+        w4, y0i, x0i = quad_weights(xy, height, width)
+        idx = (y0i * (width + 1) + x0i).reshape(B, -1)
+        rows = _patch_gather(quad, idx)
+        return _tap_reduce(rows, w4.reshape(B, -1, 4)).reshape(B, D, hw, C)
 
-    fn = quad_branch
-    for g in sorted(groups):            # build inside-out: largest g outermost
-        x, y, valid, x_org, y_org, fit = grouped(g)
-        fn = (lambda inner, fit=fit, args=(g, x, y, valid, x_org, y_org):
-              lambda: jax.lax.cond(fit, lambda: patch_branch(*args), inner)
-              )(fn)
-    return fn()
+    return _patch_nested_cond(groups, ops["per_g"], patch_fwd, quad_fwd)
+
+
+def _patch_sample_fwd(static, table, ops):
+    return _patch_sample(static, table, ops), ops
+
+
+def _patch_sample_bwd(static, ops, g_out):
+    height, width, ph, pw, groups, D, Ht, Wt, L, dtype_str = static
+    g_out = g_out.astype(jnp.float32)                        # (B, D, hw, C)
+    B = g_out.shape[0]
+    C = L // (ph * pw)
+    hw = height * width
+    dtype = jnp.dtype(dtype_str)
+
+    def patch_bwd(g):
+        ng = D // g
+        x = ops["x"].reshape(B, ng, g, hw)
+        y = ops["y"].reshape(B, ng, g, hw)
+        valid = ops["valid"].reshape(B, ng, g, hw)
+        x_org, y_org, _ = ops["per_g"][g]
+        # d_prod = g_out @ kmat^T lane-tiles the C cotangent channels to L;
+        # d_rows = sum over the depth group of w * d_prod (w rebuilt, not
+        # stored). All elementwise work fuses behind the dot.
+        kT = jnp.asarray(_identity_stack(C, ph * pw).T, jnp.float32)
+        dp = jax.lax.dot_general(
+            g_out.reshape(B, D * hw, C), kT,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = dp.reshape(B, ng, g, hw, L)
+        w = _patch_hats(x, y, valid, x_org, y_org, ph, pw, C, jnp.float32)
+        upd = jnp.sum(w * dp, axis=2)                        # (B, ng, hw, L)
+        xi = x_org.astype(jnp.int32) + 1
+        yi = y_org.astype(jnp.int32) + 1
+        idx = (yi * Wt + xi).reshape(B, -1)
+        valid_g = jnp.any(valid, axis=2).reshape(B, -1)
+        upd = upd.reshape(B, -1, L)
+        bcfg = banded_cfg(Ht, Wt, ng, height, width)
+        if bcfg is not None:
+            return banded_scatter_add((ng, height, width) + bcfg,
+                                      Ht, Wt, idx, valid_g, upd)
+        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Ht * Wt))[:, None]
+        return (jnp.zeros((B * Ht * Wt, L), jnp.float32)
+                .at[fidx.reshape(-1)].add(upd.reshape(-1, L))
+                .reshape(B, Ht, Wt, L))
+
+    def quad_bwd():
+        # adjoint of the packed-quad fallback: scatter 4C-lane cotangent
+        # rows into a quad-table gradient, fold its four tap blocks back
+        # onto the feature pixels, and embed that into the patch table's
+        # (0,0)-tap lanes (the only lanes the fallback forward read).
+        Hq, Wq = height + 1, width + 1
+        xy = jnp.stack([ops["x"], ops["y"]], axis=-1)
+        w4, y0i, x0i = quad_weights(xy, height, width)
+        w4 = w4.reshape(B, -1, 4)
+        idx = (y0i * Wq + x0i).reshape(B, -1)
+        k4T = jnp.asarray(_identity_stack(C, 4).T, jnp.float32)
+        dp = jax.lax.dot_general(
+            g_out.reshape(B, D * hw, C), k4T,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (B, N, 4C)
+        masks = _lane_masks(C)
+        w4c = sum(w4[..., q:q + 1] * jnp.asarray(masks[q]) for q in range(4))
+        upd = dp * w4c
+        valid4 = jnp.max(w4, axis=-1) > 0
+        bcfg = banded_cfg(Hq, Wq, D, height, width)
+        if bcfg is not None:
+            d_quad = banded_scatter_add((D, height, width) + bcfg,
+                                        Hq, Wq, idx, valid4, upd)
+        else:
+            fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Hq * Wq))[:, None]
+            d_quad = (jnp.zeros((B * Hq * Wq, 4 * C), jnp.float32)
+                      .at[fidx.reshape(-1)].add(upd.reshape(-1, 4 * C))
+                      .reshape(B, Hq, Wq, 4 * C))
+        # pack_quad adjoint: q00[yq,xq]=f[yq-1,xq-1], q01=f[yq-1,xq],
+        # q10=f[yq,xq-1], q11=f[yq,xq] (zero-padded borders dropped)
+        H, W = height, width
+        d_feat = (d_quad[:, 1:H + 1, 1:W + 1, 0:C]
+                  + d_quad[:, 1:H + 1, 0:W, C:2 * C]
+                  + d_quad[:, 0:H, 1:W + 1, 2 * C:3 * C]
+                  + d_quad[:, 0:H, 0:W, 3 * C:4 * C])
+        return jnp.pad(d_feat, ((0, 0), (1, Ht - H - 1), (1, Wt - W - 1),
+                                (0, L - C)))
+
+    d_table = _patch_nested_cond(groups, ops["per_g"], patch_bwd, quad_bwd)
+    zero0 = np.zeros((), dtype=jax.dtypes.float0)
+
+    def _cot(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.inexact):
+            return jnp.zeros_like(leaf)
+        return np.broadcast_to(zero0, leaf.shape)
+
+    return d_table.astype(dtype), jax.tree.map(_cot, ops)
+
+
+_patch_sample.defvjp(_patch_sample_fwd, _patch_sample_bwd)
 
 
 @functools.lru_cache(maxsize=16)

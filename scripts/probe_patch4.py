@@ -32,6 +32,7 @@ def main():
     imgs = jnp.asarray(np.repeat(imgs, B, axis=0))
     proj = jnp.asarray(np.repeat(proj, B, axis=0))
 
+    do_grad = os.environ.get("PROBE_GRAD", "0") == "1"
     for mode in (sys.argv[1:] or ["auto", "patch"]):
         model = CascadeMVSNet(dtype=dtype, sampling=mode)
         variables = model.init(jax.random.PRNGKey(0), imgs[:, :, :64, :64],
@@ -41,9 +42,29 @@ def main():
             out = model.apply(variables, imgs, proj, 425.0, 2.65)
             return out["depth_0"], out["confidence_2"]
 
-        t = device_time(fwd, variables, imgs, proj, iters=16)
-        print(f"cascade fwd sampling={mode:6s}: {t*1e3:7.2f} ms "
-              f"({B/t:.2f} maps/s)", flush=True)
+        if do_grad:
+            def loss(variables, imgs, proj):
+                # train=False: BN inference stats (immutable apply); the
+                # backward A/B only cares about the sampling-path delta
+                out = model.apply(variables, imgs, proj, 425.0, 2.65)
+                return (jnp.mean(out["depth_0"].astype(jnp.float32)) +
+                        jnp.mean(out["depth_1"].astype(jnp.float32)) +
+                        jnp.mean(out["depth_2"].astype(jnp.float32)))
+
+            def fwdbwd(variables, imgs, proj):
+                g = jax.grad(loss)(variables, imgs, proj)
+                # depend on EVERY grad leaf or XLA dead-code-eliminates the
+                # pruned parts of the backward
+                return sum(jnp.sum(l.astype(jnp.float32))
+                           for l in jax.tree.leaves(g))
+
+            t = device_time(fwdbwd, variables, imgs, proj, iters=8)
+            print(f"cascade f+b sampling={mode:6s}: {t*1e3:7.2f} ms",
+                  flush=True)
+        else:
+            t = device_time(fwd, variables, imgs, proj, iters=16)
+            print(f"cascade fwd sampling={mode:6s}: {t*1e3:7.2f} ms "
+                  f"({B/t:.2f} maps/s)", flush=True)
 
 
 if __name__ == "__main__":
