@@ -65,11 +65,14 @@ class CascadeMVSNet(nn.Module):
     # recompute is gather-bound, not flop-bound). Turn on for very large
     # inference-resolution training or small-memory chips.
     remat: bool = False
-    # plane-sweep sampling strategy: "auto"/"quad" = one gather row per
-    # (pixel, depth, view) — exact and fastest on v5e; "window" = shared
-    # strip-window gathers per depth group (fewer gather rows, wider
-    # epilogue; measured slower on v5e, see ops/plane_sweep.py, but the
-    # trade is hardware-dependent so it stays selectable).
+    # plane-sweep sampling strategy (ops/plane_sweep.py::_resolve_sampling):
+    # "auto" picks per level — PATCH-shared gathers where lane-feasible
+    # (C <= 8: one 4x4-patch row serves a whole depth-hypothesis group,
+    # exact via a runtime group-fit fallback; 599 -> 526 ms/train-step on
+    # v5e), aligned-BLOCK tables at large resolutions (gather fast regime),
+    # plain QUAD rows elsewhere. "quad"/"patch"/"window" force a strategy;
+    # "window" is a bounded approximation kept for hardware with a
+    # different gather/VPU cost ratio.
     sampling: str = "auto"
 
     levels: int = 3

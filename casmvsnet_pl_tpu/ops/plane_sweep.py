@@ -61,7 +61,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .banded_take import banded_cfg, take_quad_banded
+from .banded_take import banded_cfg, banded_scatter_add, take_quad_banded
 from .geometry import project_to_src
 from .grid_sample import (grid_sample, grid_sample_quad, pack_blocks,
                           pack_patches, pack_quad, pack_strips, quad_weights)
@@ -646,10 +646,15 @@ def _resolve_sampling(sampling, C: int, D: int, H: int, W: int,
         if cfg is not None:
             _warn_window_once()
             return {"mode": "window", **cfg}
-    if sampling == "patch":
+    if sampling in ("patch", "auto"):
         cfg = patch_config(C, D)
         # patch tables ((H+2)x(W+2) rows, 128 lanes) must stay in the gather
         # fast regime; past the row cliff the auto/block policy wins anyway.
+        # "auto" prefers patch where feasible: measured 125 -> 114 ms
+        # composed forward and 599 -> 526 ms train step at the DTU training
+        # config (custom-VJP backward; scripts/probe_patch4.py,
+        # profile_train_step.py), exact for any geometry via the runtime
+        # group-fit fallback.
         if cfg is not None and (H + 2) * (W + 2) <= _ROW_THRESH:
             return {"mode": "patch", **cfg}
     if sampling != "quad":
