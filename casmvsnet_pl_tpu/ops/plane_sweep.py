@@ -311,21 +311,24 @@ def patch_config(C: int, D: int):
     row per (pixel, depth): the recentered hypothesis windows of the fine
     cascade levels are epipolar-tight, so a whole group's bilinear supports
     usually fit a 4x4 patch (measured fit rates ~1.0 for DTU-like rigs at
-    baselines <= ~50-100 mm, scripts/probe_patch.py spans). Feasible only
-    for C <= 8 — the finest cascade level in the reference architecture.
-    ``groups`` lists candidate group sizes largest-first; the sampler picks
-    the largest whose spans fit AT RUNTIME and falls back to exact quad
-    sampling otherwise (lax.cond), so the result is exact for ANY geometry.
-    On v5e at train-res level 0 this measures 18.4 -> 13.5 ms/view forward
-    and cuts backward scatter updates g-fold (scripts/probe_patch2.py).
+    baselines <= ~50-100 mm, scripts/probe_patch.py spans). C <= 8 uses one
+    table; C = 16 (cascade level 1) SPLITS the channels into two 128-lane
+    half-tables sharing one coordinate/fit/hat computation — the forward
+    loses a little epilogue time but the backward scatters g/2-fold fewer
+    rows, a net training win. ``groups`` lists candidate group sizes; the
+    sampler picks the largest whose spans fit AT RUNTIME and falls back to
+    exact quad sampling otherwise (lax.cond), so the result is exact for
+    ANY geometry. On v5e at the DTU train config this measures 599 -> 526
+    ms/train-step (level 0 alone; scripts/probe_patch*.py).
     """
     ph = pw = 4
-    if ph * pw * C > 128:
+    split = -(-(ph * pw * C) // 128)
+    if split > 2 or (C % split):
         return None
     groups = tuple(g for g in (8, 4) if D % g == 0 and g <= D)
     if not groups:
         return None
-    return {"ph": ph, "pw": pw, "groups": groups}
+    return {"ph": ph, "pw": pw, "groups": groups, "split": split}
 
 
 def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
@@ -351,8 +354,7 @@ def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
 
     Returns (B, D, H*W, C) float32 sampled features.
     """
-    B, Ht, Wt, L = table.shape
-    C = L // (ph * pw)
+    B, S, Ht, Wt, L = table.shape
     D = depth_values.shape[1]
     hw = height * width
 
@@ -398,7 +400,7 @@ def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
 
     ops = {"x": xf, "y": yf, "valid": validf, "per_g": per_g}
     static = (height, width, ph, pw, tuple(sorted(groups)), D,
-              Ht, Wt, L, str(table.dtype))
+              S, Ht, Wt, L, str(table.dtype))
     return _patch_sample(static, table, ops)
 
 
@@ -458,12 +460,13 @@ def _patch_sample(static, table: Array, ops) -> Array:
     Gradients flow to ``table`` only; ``ops`` coordinates are
     gradient-stopped by the caller (_patch_view).
     """
-    height, width, ph, pw, groups, D, Ht, Wt, L, _ = static
+    height, width, ph, pw, groups, D, S, Ht, Wt, L, _ = static
     B = table.shape[0]
-    C = L // (ph * pw)
+    Ch = L // (ph * pw)                  # channels per split half
+    C = Ch * S
     hw = height * width
     dtype = table.dtype
-    kmat = jnp.asarray(_identity_stack(C, ph * pw), dtype)
+    kmat = jnp.asarray(_identity_stack(Ch, ph * pw), dtype)
 
     def patch_fwd(g):
         ng = D // g
@@ -474,17 +477,23 @@ def _patch_sample(static, table: Array, ops) -> Array:
         xi = x_org.astype(jnp.int32) + 1
         yi = y_org.astype(jnp.int32) + 1
         idx = (yi * Wt + xi).reshape(B, -1)                  # (B, ng*hw)
-        rows = _patch_gather(table, idx).reshape(B, ng, 1, hw, L)
-        w = _patch_hats(x, y, valid, x_org, y_org, ph, pw, C, dtype)
-        prod = rows * w
-        o = jax.lax.dot_general(
-            prod.reshape(B, D * hw, L), kmat,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # ONE hat build serves all split halves (identical lane layout)
+        w = _patch_hats(x, y, valid, x_org, y_org, ph, pw, Ch, dtype)
+        outs = []
+        for s in range(S):
+            rows = _patch_gather(table[:, s], idx).reshape(B, ng, 1, hw, L)
+            prod = rows * w
+            outs.append(jax.lax.dot_general(
+                prod.reshape(B, D * hw, L), kmat,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        o = outs[0] if S == 1 else jnp.concatenate(outs, axis=-1)
         return o.reshape(B, D, hw, C)
 
     def quad_fwd():
-        feat = table[:, 1:height + 1, 1:width + 1, :C]
+        feat = jnp.concatenate(
+            [table[:, s, 1:height + 1, 1:width + 1, :Ch] for s in range(S)],
+            axis=-1)
         quad = jax.vmap(pack_quad)(feat)
         xy = jnp.stack([ops["x"], ops["y"]], axis=-1)        # (B, D, hw, 2)
         w4, y0i, x0i = quad_weights(xy, height, width)
@@ -500,10 +509,11 @@ def _patch_sample_fwd(static, table, ops):
 
 
 def _patch_sample_bwd(static, ops, g_out):
-    height, width, ph, pw, groups, D, Ht, Wt, L, dtype_str = static
+    height, width, ph, pw, groups, D, S, Ht, Wt, L, dtype_str = static
     g_out = g_out.astype(jnp.float32)                        # (B, D, hw, C)
     B = g_out.shape[0]
-    C = L // (ph * pw)
+    Ch = L // (ph * pw)
+    C = Ch * S
     hw = height * width
     dtype = jnp.dtype(dtype_str)
 
@@ -513,30 +523,36 @@ def _patch_sample_bwd(static, ops, g_out):
         y = ops["y"].reshape(B, ng, g, hw)
         valid = ops["valid"].reshape(B, ng, g, hw)
         x_org, y_org, _ = ops["per_g"][g]
-        # d_prod = g_out @ kmat^T lane-tiles the C cotangent channels to L;
-        # d_rows = sum over the depth group of w * d_prod (w rebuilt, not
-        # stored). All elementwise work fuses behind the dot.
-        kT = jnp.asarray(_identity_stack(C, ph * pw).T, jnp.float32)
-        dp = jax.lax.dot_general(
-            g_out.reshape(B, D * hw, C), kT,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = dp.reshape(B, ng, g, hw, L)
-        w = _patch_hats(x, y, valid, x_org, y_org, ph, pw, C, jnp.float32)
-        upd = jnp.sum(w * dp, axis=2)                        # (B, ng, hw, L)
+        # d_prod = g_out @ kmat^T lane-tiles the Ch cotangent channels to L;
+        # d_rows = sum over the depth group of w * d_prod (w rebuilt ONCE
+        # for all split halves, not stored). Elementwise work fuses behind
+        # the dot.
+        kT = jnp.asarray(_identity_stack(Ch, ph * pw).T, jnp.float32)
+        w = _patch_hats(x, y, valid, x_org, y_org, ph, pw, Ch, jnp.float32)
         xi = x_org.astype(jnp.int32) + 1
         yi = y_org.astype(jnp.int32) + 1
         idx = (yi * Wt + xi).reshape(B, -1)
         valid_g = jnp.any(valid, axis=2).reshape(B, -1)
-        upd = upd.reshape(B, -1, L)
         bcfg = banded_cfg(Ht, Wt, ng, height, width)
-        if bcfg is not None:
-            return banded_scatter_add((ng, height, width) + bcfg,
-                                      Ht, Wt, idx, valid_g, upd)
-        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Ht * Wt))[:, None]
-        return (jnp.zeros((B * Ht * Wt, L), jnp.float32)
-                .at[fidx.reshape(-1)].add(upd.reshape(-1, L))
-                .reshape(B, Ht, Wt, L))
+        grads = []
+        for s in range(S):
+            go = g_out[..., s * Ch:(s + 1) * Ch]
+            dp = jax.lax.dot_general(
+                go.reshape(B, D * hw, Ch), kT,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = dp.reshape(B, ng, g, hw, L)
+            upd = jnp.sum(w * dp, axis=2).reshape(B, -1, L)  # (B, ng*hw, L)
+            if bcfg is not None:
+                grads.append(banded_scatter_add(
+                    (ng, height, width) + bcfg, Ht, Wt, idx, valid_g, upd))
+            else:
+                fidx = idx + (jnp.arange(B, dtype=jnp.int32)
+                              * (Ht * Wt))[:, None]
+                grads.append(jnp.zeros((B * Ht * Wt, L), jnp.float32)
+                             .at[fidx.reshape(-1)].add(upd.reshape(-1, L))
+                             .reshape(B, Ht, Wt, L))
+        return jnp.stack(grads, axis=1)                      # (B, S, Ht, Wt, L)
 
     def quad_bwd():
         # adjoint of the packed-quad fallback: scatter 4C-lane cotangent
@@ -573,8 +589,10 @@ def _patch_sample_bwd(static, ops, g_out):
                   + d_quad[:, 1:H + 1, 0:W, C:2 * C]
                   + d_quad[:, 0:H, 1:W + 1, 2 * C:3 * C]
                   + d_quad[:, 0:H, 0:W, 3 * C:4 * C])
-        return jnp.pad(d_feat, ((0, 0), (1, Ht - H - 1), (1, Wt - W - 1),
-                                (0, L - C)))
+        return jnp.stack([
+            jnp.pad(d_feat[..., s * Ch:(s + 1) * Ch],
+                    ((0, 0), (1, Ht - H - 1), (1, Wt - W - 1), (0, L - Ch)))
+            for s in range(S)], axis=1)                      # (B, S, ...)
 
     d_table = _patch_nested_cond(groups, ops["per_g"], patch_bwd, quad_bwd)
     zero0 = np.zeros((), dtype=jax.dtypes.float0)
@@ -654,8 +672,10 @@ def _resolve_sampling(sampling, C: int, D: int, H: int, W: int,
         # composed forward and 599 -> 526 ms train step at the DTU training
         # config (custom-VJP backward; scripts/probe_patch4.py,
         # profile_train_step.py), exact for any geometry via the runtime
-        # group-fit fallback.
-        if cfg is not None and (H + 2) * (W + 2) <= _ROW_THRESH:
+        # group-fit fallback. Split-channel patch (C=16) stays opt-in via
+        # sampling="patch" until its composed train win is confirmed.
+        if (cfg is not None and (H + 2) * (W + 2) <= _ROW_THRESH
+                and (sampling == "patch" or cfg["split"] == 1)):
             return {"mode": "patch", **cfg}
     if sampling != "quad":
         a = block_align(C, H, W, itemsize)
@@ -684,8 +704,15 @@ def _pack_tables(srcs: Array, cfg):
         return jax.vmap(jax.vmap(
             lambda f: pack_blocks(f, cfg["align"])))(srcs)
     if cfg["mode"] == "patch":
-        return jax.vmap(jax.vmap(
-            lambda f: pack_patches(f, cfg["ph"], cfg["pw"])))(srcs)
+        s = cfg["split"]
+
+        def pk(f):
+            cs = f.shape[-1] // s
+            return jnp.stack([
+                pack_patches(f[..., i * cs:(i + 1) * cs],
+                             cfg["ph"], cfg["pw"]) for i in range(s)])
+
+        return jax.vmap(jax.vmap(pk))(srcs)      # (B, V-1, S, Ht, Wt, Lh)
     return jax.vmap(jax.vmap(
         lambda f: pack_strips(f, cfg["strip_w"], cfg["window_h"])))(srcs)
 

@@ -33,10 +33,13 @@ def _scene(rng, B=2, V=3, H=32, W=40, C=8, D=8, tx=40.0, ty=12.0,
 
 
 def test_patch_config_feasibility():
-    assert patch_config(8, 8) == {"ph": 4, "pw": 4, "groups": (8, 4)}
-    assert patch_config(8, 32) == {"ph": 4, "pw": 4, "groups": (8, 4)}
+    assert patch_config(8, 8) == {"ph": 4, "pw": 4, "groups": (8, 4),
+                                  "split": 1}
+    assert patch_config(8, 32) == {"ph": 4, "pw": 4, "groups": (8, 4),
+                                   "split": 1}
     assert patch_config(8, 12)["groups"] == (4,)   # 12 % 8 != 0
-    assert patch_config(16, 32) is None            # 4*4*16 lanes > 128
+    assert patch_config(16, 32)["split"] == 2      # two 128-lane half-tables
+    assert patch_config(32, 48) is None            # would need a 4-way split
     assert patch_config(8, 6) is None              # no feasible group size
 
 
@@ -152,10 +155,40 @@ def test_patch_banded_backward_matches_quad(monkeypatch):
     np.testing.assert_allclose(np.asarray(gq), np.asarray(gp), atol=2e-6)
 
 
+def test_patch_split_channel_matches_quad():
+    # C=16 (cascade level 1): two 128-lane half-tables, one shared hat build
+    feats, proj, dv = _scene(np.random.RandomState(10), C=16, D=16)
+    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
+    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
+
+
+def test_patch_split_channel_gradients():
+    feats, proj, dv = _scene(np.random.RandomState(14), B=1, H=16, W=24,
+                             C=16)
+
+    def loss(f, sampling):
+        return jnp.sum(build_cost_volume(f, proj, dv, remat=False,
+                                         sampling=sampling) ** 2)
+
+    gq = jax.grad(lambda f: loss(f, "quad"))(feats)
+    gp = jax.grad(lambda f: loss(f, "patch"))(feats)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gp), atol=2e-6)
+
+
+def test_patch_split_channel_fallback_geometry():
+    # wild geometry: split-channel quad fallback must also be exact
+    feats, proj, dv = _scene(np.random.RandomState(15), C=16, tx=900.0,
+                             dmin=30.0, dint=8.0)
+    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
+    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
+
+
 def test_patch_infeasible_falls_back():
-    # C=16 exceeds the 128-lane patch budget: "patch" resolves to the auto
-    # policy so the mode can be requested model-wide.
-    feats, proj, dv = _scene(np.random.RandomState(10), C=16)
+    # C=32 would need a 4-way split: "patch" resolves to the auto policy so
+    # the mode can be requested model-wide.
+    feats, proj, dv = _scene(np.random.RandomState(10), C=32)
     q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
     p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=0)
