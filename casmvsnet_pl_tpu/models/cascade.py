@@ -112,7 +112,7 @@ class CascadeMVSNet(nn.Module):
         """
         volume = build_cost_volume(feats, proj_mats, depth_values,
                                    groups=self.num_groups, remat=self.remat,
-                                   sampling=self.sampling)
+                                   sampling=self.sampling, train=train)
         cost = self.cost_regs[level](volume, train)           # (B, D, h, w)
         prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
         depth = depth_regression(prob, depth_values)

@@ -644,7 +644,7 @@ def block_align(C: int, H: int, W: int, itemsize: int = 2) -> int:
 
 
 def _resolve_sampling(sampling, C: int, D: int, H: int, W: int,
-                      itemsize: int = 2):
+                      itemsize: int = 2, train: bool = False):
     """Map a sampling mode string to a per-level sampler config dict.
 
     "auto"/"quad" use one gather row per (pixel, depth, view): a plain quad
@@ -672,10 +672,15 @@ def _resolve_sampling(sampling, C: int, D: int, H: int, W: int,
         # composed forward and 599 -> 526 ms train step at the DTU training
         # config (custom-VJP backward; scripts/probe_patch4.py,
         # profile_train_step.py), exact for any geometry via the runtime
-        # group-fit fallback. Split-channel patch (C=16) stays opt-in via
-        # sampling="patch" until its composed train win is confirmed.
+        # group-fit fallback. Split-channel patch (C=16) pays ~8 ms/view
+        # extra epilogue forward but scatters 4-8x fewer backward rows:
+        # a large net TRAINING win (526 -> 430 ms/step) and a forward-only
+        # loss (112 -> 129 ms), so "auto" picks it only under train — the
+        # TPU analog of the reference's own train/eval asymmetry
+        # (/root/reference/models/mvsnet.py:150-156 uses in-place ops at
+        # eval only). sampling="patch" forces it everywhere.
         if (cfg is not None and (H + 2) * (W + 2) <= _ROW_THRESH
-                and (sampling == "patch" or cfg["split"] == 1)):
+                and (sampling == "patch" or cfg["split"] == 1 or train)):
             return {"mode": "patch", **cfg}
     if sampling != "quad":
         a = block_align(C, H, W, itemsize)
@@ -801,7 +806,8 @@ def _sample_view(tables_v: Array, proj_mat_v: Array, depth_values: Array,
 def batched_variance_cost_volume(feats: Array, proj_mats: Array,
                                  depth_values: Array,
                                  remat: bool = True,
-                                 sampling: str = "auto") -> Array:
+                                 sampling: str = "auto",
+                                 train: bool = False) -> Array:
     """Variance cost volume over V views: E[f^2] - E[f]^2, batch-native.
 
     The reference view participates as an un-warped volume broadcast over
@@ -817,7 +823,7 @@ def batched_variance_cost_volume(feats: Array, proj_mats: Array,
     D = depth_values.shape[1]
     dtype = feats.dtype
     ref, srcs = feats[:, 0], feats[:, 1:]
-    cfg = _resolve_sampling(sampling, C, D, H, W, dtype.itemsize)
+    cfg = _resolve_sampling(sampling, C, D, H, W, dtype.itemsize, train)
     tables = _pack_tables(srcs, cfg)
 
     def build(tables, proj_mats, depth_values, ref):
@@ -840,7 +846,8 @@ def batched_variance_cost_volume(feats: Array, proj_mats: Array,
 def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
                                   depth_values: Array, groups: int,
                                   remat: bool = True,
-                                  sampling: str = "auto") -> Array:
+                                  sampling: str = "auto",
+                                  train: bool = False) -> Array:
     """Groupwise-correlation cost volume, batch-native.
 
     sim_g = mean_{c in group g}(warped_c * ref_c), summed over source views
@@ -854,7 +861,7 @@ def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
     D = depth_values.shape[1]
     dtype = feats.dtype
     ref, srcs = feats[:, 0], feats[:, 1:]
-    cfg = _resolve_sampling(sampling, C, D, H, W, dtype.itemsize)
+    cfg = _resolve_sampling(sampling, C, D, H, W, dtype.itemsize, train)
     tables = _pack_tables(srcs, cfg)
 
     def build(tables, proj_mats, depth_values, ref):
@@ -895,10 +902,11 @@ def _maybe_barrier(cfg, *arrays):
     return out if len(arrays) > 1 else out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "remat", "sampling"))
+@functools.partial(jax.jit, static_argnames=("groups", "remat", "sampling",
+                                              "train"))
 def build_cost_volume(feats: Array, proj_mats: Array, depth_values: Array,
                       groups: int = 1, remat: bool = True,
-                      sampling: str = "auto") -> Array:
+                      sampling: str = "auto", train: bool = False) -> Array:
     """Batched cost volume dispatcher.
 
     feats: (B, V, H, W, C); proj_mats: (B, V-1, 3, 4);
@@ -906,13 +914,13 @@ def build_cost_volume(feats: Array, proj_mats: Array, depth_values: Array,
     """
     cfg = _resolve_sampling(sampling, feats.shape[-1],
                             depth_values.shape[1], feats.shape[2],
-                            feats.shape[3], feats.dtype.itemsize)
+                            feats.shape[3], feats.dtype.itemsize, train)
     feats, proj_mats, depth_values = _maybe_barrier(
         cfg, feats, proj_mats, depth_values)
     if groups == 1:
         vol = batched_variance_cost_volume(feats, proj_mats, depth_values,
-                                           remat, sampling)
+                                           remat, sampling, train)
     else:
         vol = batched_groupwise_cost_volume(feats, proj_mats, depth_values,
-                                            groups, remat, sampling)
+                                            groups, remat, sampling, train)
     return _maybe_barrier(cfg, vol)

@@ -194,6 +194,20 @@ def test_patch_infeasible_falls_back():
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=0)
 
 
+def test_auto_split_patch_only_under_train():
+    # split-channel patch wins TRAINING (430 vs 526 ms/step on v5e) but
+    # loses forward-only inference (129 vs 112 ms), so "auto" picks it only
+    # when train=True — the TPU analog of the reference's own train/eval
+    # asymmetry (/root/reference/models/mvsnet.py:150-156).
+    train_cfg = ps._resolve_sampling("auto", 16, 32, 256, 320, 2, train=True)
+    eval_cfg = ps._resolve_sampling("auto", 16, 32, 256, 320, 2, train=False)
+    assert train_cfg["mode"] == "patch" and train_cfg["split"] == 2
+    assert eval_cfg["mode"] == "quad"
+    # C=8 levels take patch in both contexts; explicit "patch" forces split
+    assert ps._resolve_sampling("auto", 8, 8, 512, 640, 2)["mode"] == "patch"
+    assert ps._resolve_sampling("patch", 16, 32, 256, 320, 2)["split"] == 2
+
+
 def test_patch_table_row_guard(monkeypatch):
     # past the gather row cliff the patch mode must defer to the auto/block
     # policy instead of gathering from a slow table
