@@ -25,10 +25,13 @@ samples trigger an exact monolithic-scatter fallback via ``lax.cond``.
 Measured end-to-end at level-0 geometry: 8.8-9.2 ns/update, 23 ms vs
 41 ms monolithic (1.78x), with the fallback verified exact.
 
-The forward is byte-identical to the plain path in
-``plane_sweep._gather_view`` (batch-folded single gather when the folded
-table stays under the gather fast-regime byte limit, else one gather per
-batch element).
+The forward is byte-identical to the plain gather path in
+``plane_sweep`` (batch-folded single gather when the folded table stays
+under the gather fast-regime byte limit, else one gather per batch
+element). The production quad/patch samplers now carry their own custom
+VJPs (plane_sweep._quad_sample / _patch_sample) built on
+:func:`banded_scatter_add`; this wrapper remains the standalone
+gather-with-banded-backward primitive.
 
 Reference behavior being accelerated: the backward of the reference's
 ``F.grid_sample`` inside ``homo_warp`` (/root/reference/models/modules.py:87-89).

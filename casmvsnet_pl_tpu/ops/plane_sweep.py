@@ -123,45 +123,6 @@ def groupwise_cost_volume(feats: Array, proj_mats: Array, depth_values: Array,
                                          remat)[0]
 
 
-def _gather_view(src_quad: Array, proj_mat: Array, depth_values: Array,
-                 height: int, width: int):
-    """Gather quad rows + tap weights for one source view.
-
-    Issues ONE batch-folded gather when the folded table stays in the fast
-    regime, else one gather per batch element (see module docstring). When
-    the table is past the SCATTER cliff (~26K target rows), the gather runs
-    through :func:`ops.banded_take.take_quad_banded`, whose custom backward
-    scatters cotangents in per-tile dynamic bands at the fast scatter rate
-    (the 446 ms -> ~220 ms warp-backward lever, scripts/probe_scatter2.py).
-
-    src_quad: (B, H+1, W+1, 4C) -> rows (B, N, 4C), w4 (B, N, 4) f32,
-    N = D*H*W.
-    """
-    B, Hq, Wq, C4 = src_quad.shape
-    D = depth_values.shape[1]
-    coords = jax.vmap(
-        lambda p, d: project_to_src(p, d, height, width))(proj_mat,
-                                                          depth_values)
-    w4, y0i, x0i = quad_weights(coords, height, width)
-    idx = (y0i * Wq + x0i).reshape(B, -1)                 # (B, N)
-    bcfg = banded_cfg(Hq, Wq, D, height, width)
-    if bcfg is not None:
-        valid = (jnp.max(w4, axis=-1) > 0).reshape(B, -1)
-        geom = (D, height, width) + bcfg
-        rows = take_quad_banded(geom, src_quad, idx, valid)
-        return rows, w4.reshape(B, -1, 4)
-    table_bytes = B * Hq * Wq * C4 * src_quad.dtype.itemsize
-    if table_bytes <= _FOLD_LIMIT or B == 1:
-        flat = src_quad.reshape(B * Hq * Wq, C4)
-        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Hq * Wq))[:, None]
-        rows = jnp.take(flat, fidx.reshape(-1), axis=0).reshape(B, -1, C4)
-    else:
-        rows = jnp.stack([
-            jnp.take(src_quad[b].reshape(Hq * Wq, C4), idx[b], axis=0)
-            for b in range(B)])
-    return rows, w4.reshape(B, -1, 4)
-
-
 @functools.lru_cache(maxsize=32)
 def _lane_masks(C: int, blocks: int = 4):
     """Constant (blocks*C,) one-hot-block masks, one per tap block."""
@@ -783,16 +744,95 @@ def _block_view(table: Array, proj_mat: Array, depth_values: Array,
     return o.reshape(B, D, hw, C)
 
 
+def _quad_view(table: Array, proj_mat: Array, depth_values: Array,
+               height: int, width: int) -> Array:
+    """Packed-quad warp of one source view with a HAND-WRITTEN backward.
+
+    Forward is the classic packed-quad single-row-gather + 4-tap combine.
+    Autodiff of that forward stores the expanded (N, 4C) tap-weight tensor
+    and the d_prod intermediate as residuals — at level 2 (C=32, 128-lane
+    rows) that residual traffic made the backward 4x the forward
+    (scripts/profile_bwd.py: 73 ms bwd vs 18 ms fwd). The custom VJP keeps
+    only the (B, D, hw) coordinates, rebuilds tap weights in the backward,
+    and scatters cotangent rows banded (ops/banded_take) where the table
+    is past the scatter cliff. Coordinates are gradient-stopped, like
+    _patch_view (hypotheses are gradient-stopped by the cascade).
+    """
+    B, Hq, Wq, C4 = table.shape
+    D = depth_values.shape[1]
+    coords = jax.vmap(
+        lambda p, d: project_to_src(p, d, height, width))(proj_mat,
+                                                          depth_values)
+    coords = jax.lax.stop_gradient(coords)
+    xf = coords[..., 0].astype(jnp.float32).reshape(B, D, height * width)
+    yf = coords[..., 1].astype(jnp.float32).reshape(B, D, height * width)
+    static = (height, width, D, Hq, Wq, C4, str(table.dtype))
+    return _quad_sample(static, table, {"x": xf, "y": yf})
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _quad_sample(static, table: Array, ops) -> Array:
+    height, width, D, Hq, Wq, C4 = static[:6]
+    B = table.shape[0]
+    C = C4 // 4
+    hw = height * width
+    xy = jnp.stack([ops["x"], ops["y"]], axis=-1)
+    w4, y0i, x0i = quad_weights(xy, height, width)
+    idx = (y0i * Wq + x0i).reshape(B, -1)
+    rows = _patch_gather(table, idx)
+    return _tap_reduce(rows, w4.reshape(B, -1, 4)).reshape(B, D, hw, C)
+
+
+def _quad_sample_fwd(static, table, ops):
+    return _quad_sample(static, table, ops), ops
+
+
+def _quad_sample_bwd(static, ops, g_out):
+    height, width, D, Hq, Wq, C4, dtype_str = static
+    g_out = g_out.astype(jnp.float32)                        # (B, D, hw, C)
+    B = g_out.shape[0]
+    C = C4 // 4
+    hw = height * width
+    xy = jnp.stack([ops["x"], ops["y"]], axis=-1)
+    w4, y0i, x0i = quad_weights(xy, height, width)
+    w4 = w4.reshape(B, -1, 4)
+    idx = (y0i * Wq + x0i).reshape(B, -1)
+    kT = jnp.asarray(_identity_stack(C, 4).T, jnp.float32)
+    dp = jax.lax.dot_general(
+        g_out.reshape(B, D * hw, C), kT,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (B, N, 4C)
+    masks = _lane_masks(C)
+    w4c = sum(w4[..., q:q + 1] * jnp.asarray(masks[q]) for q in range(4))
+    upd = dp * w4c
+    valid = jnp.max(w4, axis=-1) > 0
+    bcfg = banded_cfg(Hq, Wq, D, height, width)
+    if bcfg is not None:
+        d_table = banded_scatter_add((D, height, width) + bcfg,
+                                     Hq, Wq, idx, valid, upd)
+    else:
+        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Hq * Wq))[:, None]
+        d_table = (jnp.zeros((B * Hq * Wq, C4), jnp.float32)
+                   .at[fidx.reshape(-1)].add(upd.reshape(-1, C4))
+                   .reshape(B, Hq, Wq, C4))
+    zero0 = np.zeros((), dtype=jax.dtypes.float0)
+
+    def _cot(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.inexact):
+            return jnp.zeros_like(leaf)
+        return np.broadcast_to(zero0, leaf.shape)
+
+    return d_table.astype(jnp.dtype(dtype_str)), jax.tree.map(_cot, ops)
+
+
+_quad_sample.defvjp(_quad_sample_fwd, _quad_sample_bwd)
+
+
 def _sample_view(tables_v: Array, proj_mat_v: Array, depth_values: Array,
                  height: int, width: int, cfg) -> Array:
     """Warped features of one source view: (B, D, H*W, C) float32."""
     if cfg["mode"] == "quad":
-        rows, w4 = _gather_view(tables_v, proj_mat_v, depth_values,
-                                height, width)
-        B = tables_v.shape[0]
-        D = depth_values.shape[1]
-        C = tables_v.shape[-1] // 4
-        return _tap_reduce(rows, w4).reshape(B, D, height * width, C)
+        return _quad_view(tables_v, proj_mat_v, depth_values, height, width)
     if cfg["mode"] == "block":
         return _block_view(tables_v, proj_mat_v, depth_values, height,
                            width, cfg["align"])

@@ -68,15 +68,16 @@ def main():
 
         def closs(fe, pr, d):
             return jnp.sum(build_cost_volume(fe, pr, d, groups=1,
-                                             remat=False).astype(
-                                                 jnp.float32) ** 2)
+                                             remat=False, train=True)
+                           .astype(jnp.float32) ** 2)
 
         t(f"warp+cost L{l} fwd+bwd", lambda fe, pr, d: jnp.sum(
             jax.grad(closs)(fe, pr, d).astype(jnp.float32)), feats, proj, dv)
 
     # costreg fwd+bwd per level
     for (l, D, h, w, C) in levels:
-        netc = crmod.CostRegNetFolded(dtype=dtype)
+        netc = (crmod.CostRegNetFolded if D <= 32
+                else crmod.CostRegNet)(dtype=dtype)
         cvar = netc.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 8, 16, 16, C), dtype))
         vol = jnp.asarray(
