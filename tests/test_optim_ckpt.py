@@ -122,9 +122,12 @@ def test_topk_manager(tmp_path):
     assert mgr2.best_path().endswith("epoch=03.ckpt")
 
 
+@pytest.mark.slow  # full trainer compile: minutes of CPU XLA time
 def test_full_training_resume_roundtrip(tmp_path):
     """restore_state must reproduce params, batch stats, optimizer state and
-    step exactly, and continue producing identical updates."""
+    step exactly, and continue producing identical updates. Checkpoint
+    serialization itself is covered by the fast tests above; this pins the
+    trainer-level wiring (donation, mesh shardings, step counter)."""
     from casmvsnet_pl_tpu.data.loader import collate
     from casmvsnet_pl_tpu.data.synthetic import PlaneScene
     from casmvsnet_pl_tpu.engine import MVSTrainer
@@ -141,7 +144,10 @@ def test_full_training_resume_roundtrip(tmp_path):
         "masks": {k: np.ones(v[0].shape, bool) for k, v in depths.items()},
     }
     batch = collate([sample, sample])
-    model = CascadeMVSNet(n_depths=(8, 8, 16), interval_ratios=(1., 2., 4.))
+    # sampling="quad" keeps the compile lean: resume logic is orthogonal to
+    # the sampling strategy (sampler parity has its own oracle suite).
+    model = CascadeMVSNet(n_depths=(8, 8, 8), interval_ratios=(1., 2., 4.),
+                          sampling="quad")
     cfg = OptimConfig(optimizer="adam", lr=1e-3, lr_scheduler="cosine",
                       num_epochs=2)
     trainer = MVSTrainer(model, cfg, steps_per_epoch=4, mesh=make_mesh(2))
