@@ -99,19 +99,35 @@ def prefetch_to_device(iterator: Iterator[dict], size: int = 2,
             dev["scan_vid"] = batch["scan_vid"]
         return dev
 
+    stop = threading.Event()
+
     def worker():
         for batch in iterator:
-            sem.acquire()
+            # poll so the worker can exit if the consumer abandons the
+            # generator mid-epoch (else it would block forever holding up
+            # to `size` device batches)
+            while not sem.acquire(timeout=0.1):
+                if stop.is_set():
+                    return
+            if stop.is_set():
+                return
             queue.append(put(batch))
         queue.append(done)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        while not queue:
-            t.join(timeout=0.005)
-        item = queue.popleft()
-        if item is done:
-            return
-        sem.release()
-        yield item
+    try:
+        while True:
+            while not queue:
+                t.join(timeout=0.005)
+                if not t.is_alive() and not queue:
+                    return
+            item = queue.popleft()
+            if item is done:
+                return
+            sem.release()
+            yield item
+    finally:
+        stop.set()
+        sem.release()  # unblock a worker parked on acquire
+        t.join(timeout=5.0)
