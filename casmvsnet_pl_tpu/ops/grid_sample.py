@@ -200,7 +200,7 @@ def grid_sample_quad(feat_quad: Array, xy: Array, height: int,
     # (~7.6 ms per 2.6M-sample view); every alternative measured WORSE on
     # v5e: einsum (same lowering), per-tap matmul vs a 0/1 selection matrix
     # (5x), channel-interleaved packing + minor-dim reduce (1.6x), and a
-    # hand-written Pallas kernel (kernels/tap_reduce.py, 2.5x end-to-end —
+    # hand-written Pallas kernel (scripts/kernel_tap_reduce.py, 2.5x end-to-end —
     # the (N-sublane x C-lane)/(per-sample scalar) layout mismatch costs
     # more inside the kernel than XLA's transpose does).
     dtype = feat_quad.dtype

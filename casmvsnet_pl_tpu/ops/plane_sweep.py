@@ -39,7 +39,7 @@ scripts/probe_warp_cost.py, probe_l0_variants.py, probe_epi3.py, probe_epi4.py)
   stacked-identity (4C, C) matrix on the MXU. The variance/correlation
   accumulation then fuses elementwise. Net: 52 -> 18 ms (L2), 58 -> 38 ms
   (L1) per cost volume at batch 2.
-* A Pallas fused epilogue (kernels/cost_epilogue.py) was measured SLOWER:
+* A fused Pallas tap-reduce epilogue (scripts/kernel_cost_epilogue.py) was measured SLOWER:
   Mosaic's auto-pipelined DMA streams top out ~85 GB/s/stream on this
   toolchain, below what the XLA fusion achieves.
 * Source views are reduced with an UNROLLED loop: a lax.scan here measures
@@ -61,6 +61,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels.patch_epilogue import epilogue_bwd, epilogue_fwd
 from .banded_take import banded_cfg, banded_scatter_add, take_quad_banded
 from .geometry import project_to_src
 from .grid_sample import (grid_sample, grid_sample_quad, pack_blocks,
@@ -273,18 +274,18 @@ def patch_config(C: int, D: int):
     cascade levels are epipolar-tight, so a whole group's bilinear supports
     usually fit a 4x4 patch (measured fit rates ~1.0 for DTU-like rigs at
     baselines <= ~50-100 mm, scripts/probe_patch.py spans). C <= 8 uses one
-    table; C = 16 (cascade level 1) SPLITS the channels into two 128-lane
-    half-tables sharing one coordinate/fit/hat computation — the forward
-    loses a little epilogue time but the backward scatters g/2-fold fewer
-    rows, a net training win. ``groups`` lists candidate group sizes; the
-    sampler picks the largest whose spans fit AT RUNTIME and falls back to
-    exact quad sampling otherwise (lax.cond), so the result is exact for
-    ANY geometry. On v5e at the DTU train config this measures 599 -> 526
-    ms/train-step (level 0 alone; scripts/probe_patch*.py).
+    table; C = 16 / C = 32 (cascade levels 1 / 2) SPLIT the channels into
+    two / four 128-lane sub-tables sharing one coordinate/fit computation —
+    each split still halves-or-better the gather rows vs quad and the
+    backward scatters g/split-fold fewer rows. ``groups`` lists candidate
+    group sizes; the sampler picks the largest whose spans fit AT RUNTIME
+    and falls back to exact quad sampling otherwise (lax.cond), so the
+    result is exact for ANY geometry. Extraction runs in the transposed
+    pixel-lane layout (kernels/patch_epilogue.py; scripts/probe_epi5.py).
     """
     ph = pw = 4
     split = -(-(ph * pw * C) // 128)
-    if split > 2 or (C % split):
+    if split > 4 or (C % split):
         return None
     groups = tuple(g for g in (8, 4) if D % g == 0 and g <= D)
     if not groups:
@@ -377,23 +378,18 @@ def _patch_gather(table: Array, idx: Array) -> Array:
         for b in range(B)])
 
 
-def _patch_hats(x, y, valid, x_org, y_org, ph, pw, C, dtype):
-    """validfold hat weights: (B, ng, g, hw, ph*pw*C) in the feature dtype.
+def _patch_frac(x, y, valid, x_org, y_org, ph, pw):
+    """validfold fractional patch-frame coords: (B, ng, g, hw) f32 each.
 
-    The valid mask folds into fx (invalid -> -9 -> hat 0), saving one
-    (N, L) multiply (scripts/probe_patch2.py epi A/B).
+    The valid mask folds into fx (invalid -> -9 -> every hat weight 0,
+    scripts/probe_patch2.py epi A/B), preserving grid_sample's
+    zeros-padding semantics for out-of-image samples.
     """
-    L = ph * pw * C
-    lane = np.arange(L)
-    dxl = jnp.asarray(((lane // C) % pw).astype(np.float32))
-    dyl = jnp.asarray((lane // (pw * C)).astype(np.float32))
     fx = jnp.where(valid,
                    jnp.clip(x - x_org[:, :, None], 0.0, pw - 1.0),
-                   -9.0)[..., None]
-    fy = jnp.clip(y - y_org[:, :, None], 0.0, ph - 1.0)[..., None]
-    w = (jnp.maximum(0.0, 1.0 - jnp.abs(fx - dxl)) *
-         jnp.maximum(0.0, 1.0 - jnp.abs(fy - dyl)))
-    return w.astype(dtype)
+                   -9.0)
+    fy = jnp.clip(y - y_org[:, :, None], 0.0, ph - 1.0)
+    return fx, fy
 
 
 def _patch_nested_cond(groups_desc, per_g, patch_fn, fallback_fn):
@@ -426,8 +422,6 @@ def _patch_sample(static, table: Array, ops) -> Array:
     Ch = L // (ph * pw)                  # channels per split half
     C = Ch * S
     hw = height * width
-    dtype = table.dtype
-    kmat = jnp.asarray(_identity_stack(Ch, ph * pw), dtype)
 
     def patch_fwd(g):
         ng = D // g
@@ -438,18 +432,20 @@ def _patch_sample(static, table: Array, ops) -> Array:
         xi = x_org.astype(jnp.int32) + 1
         yi = y_org.astype(jnp.int32) + 1
         idx = (yi * Wt + xi).reshape(B, -1)                  # (B, ng*hw)
-        # ONE hat build serves all split halves (identical lane layout)
-        w = _patch_hats(x, y, valid, x_org, y_org, ph, pw, Ch, dtype)
+        # ONE frac-coord build serves all split halves; the bilinear
+        # extraction runs in the transposed (pixel-lane) layout via the
+        # Pallas kernel (kernels/patch_epilogue.py) — 1.8 vs 9.5 ms per L0
+        # view for the lane-layout hat expansion (scripts/probe_epi5.py).
+        fx, fy = _patch_frac(x, y, valid, x_org, y_org, ph, pw)
         outs = []
         for s in range(S):
-            rows = _patch_gather(table[:, s], idx).reshape(B, ng, 1, hw, L)
-            prod = rows * w
-            outs.append(jax.lax.dot_general(
-                prod.reshape(B, D * hw, L), kmat,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        o = outs[0] if S == 1 else jnp.concatenate(outs, axis=-1)
-        return o.reshape(B, D, hw, C)
+            rows = _patch_gather(table[:, s], idx)           # (B, ng*hw, L)
+            rowsT = jnp.swapaxes(rows.reshape(B, ng, hw, L), -1, -2)
+            outs.append(epilogue_fwd(rowsT, fx, fy, ph, pw))
+        o = outs[0] if S == 1 else jnp.concatenate(outs, axis=3)
+        # (B, ng, g, C, hw) -> (B, D, hw, C); the transpose fuses into the
+        # variance/correlation accumulation (measured free, probe_epi5).
+        return jnp.swapaxes(o.reshape(B, D, C, hw), -1, -2)
 
     def quad_fwd():
         feat = jnp.concatenate(
@@ -484,12 +480,12 @@ def _patch_sample_bwd(static, ops, g_out):
         y = ops["y"].reshape(B, ng, g, hw)
         valid = ops["valid"].reshape(B, ng, g, hw)
         x_org, y_org, _ = ops["per_g"][g]
-        # d_prod = g_out @ kmat^T lane-tiles the Ch cotangent channels to L;
-        # d_rows = sum over the depth group of w * d_prod (w rebuilt ONCE
-        # for all split halves, not stored). Elementwise work fuses behind
-        # the dot.
-        kT = jnp.asarray(_identity_stack(Ch, ph * pw).T, jnp.float32)
-        w = _patch_hats(x, y, valid, x_org, y_org, ph, pw, Ch, jnp.float32)
+        # Cotangent rows in the transposed layout: d_rowsT[k*Ch+c, p] =
+        # sum_j hat_w[j, k, p] * goT[j, c, p] — hats rebuilt from the
+        # coordinate residuals (never stored), one kernel per split half
+        # (kernels/patch_epilogue.epilogue_bwd).
+        fx, fy = _patch_frac(x, y, valid, x_org, y_org, ph, pw)
+        goT = jnp.swapaxes(g_out, -1, -2).reshape(B, ng, g, C, hw)
         xi = x_org.astype(jnp.int32) + 1
         yi = y_org.astype(jnp.int32) + 1
         idx = (yi * Wt + xi).reshape(B, -1)
@@ -497,13 +493,9 @@ def _patch_sample_bwd(static, ops, g_out):
         bcfg = banded_cfg(Ht, Wt, ng, height, width)
         grads = []
         for s in range(S):
-            go = g_out[..., s * Ch:(s + 1) * Ch]
-            dp = jax.lax.dot_general(
-                go.reshape(B, D * hw, Ch), kT,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp = dp.reshape(B, ng, g, hw, L)
-            upd = jnp.sum(w * dp, axis=2).reshape(B, -1, L)  # (B, ng*hw, L)
+            d_rowsT = epilogue_bwd(goT[:, :, :, s * Ch:(s + 1) * Ch], fx, fy,
+                                   ph, pw)                   # (B, ng, L, hw)
+            upd = jnp.swapaxes(d_rowsT, -1, -2).reshape(B, -1, L)
             if bcfg is not None:
                 grads.append(banded_scatter_add(
                     (ng, height, width) + bcfg, Ht, Wt, idx, valid_g, upd))
@@ -629,19 +621,16 @@ def _resolve_sampling(sampling, C: int, D: int, H: int, W: int,
         cfg = patch_config(C, D)
         # patch tables ((H+2)x(W+2) rows, 128 lanes) must stay in the gather
         # fast regime; past the row cliff the auto/block policy wins anyway.
-        # "auto" prefers patch where feasible: measured 125 -> 114 ms
-        # composed forward and 599 -> 526 ms train step at the DTU training
-        # config (custom-VJP backward; scripts/probe_patch4.py,
-        # profile_train_step.py), exact for any geometry via the runtime
-        # group-fit fallback. Split-channel patch (C=16) pays ~8 ms/view
-        # extra epilogue forward but scatters 4-8x fewer backward rows:
-        # a large net TRAINING win (526 -> 430 ms/step) and a forward-only
-        # loss (112 -> 129 ms), so "auto" picks it only under train — the
-        # TPU analog of the reference's own train/eval asymmetry
-        # (/root/reference/models/mvsnet.py:150-156 uses in-place ops at
-        # eval only). sampling="patch" forces it everywhere.
-        if (cfg is not None and (H + 2) * (W + 2) <= _ROW_THRESH
-                and (sampling == "patch" or cfg["split"] == 1 or train)):
+        # "auto" prefers patch wherever feasible: with the transposed-layout
+        # Pallas epilogue (kernels/patch_epilogue.py) the patch FORWARD beats
+        # quad at every cascade level and split factor (per-view on v5e,
+        # scripts/probe_epi5.py: L0 9.9 vs 18.4, L1 split2 9.2 vs 14.7,
+        # L2 split4 5.3 vs 8.1 ms), and the backward scatters g/split-fold
+        # fewer rows. Exact for any geometry via the runtime group-fit
+        # quad fallback. (Round-2 history: the lane-layout hat epilogue made
+        # split-channel patch a train-only win; the transposed kernel
+        # removed that asymmetry.)
+        if cfg is not None and (H + 2) * (W + 2) <= _ROW_THRESH:
             return {"mode": "patch", **cfg}
     if sampling != "quad":
         a = block_align(C, H, W, itemsize)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from casmvsnet_pl_tpu.kernels import cost_epilogue as ce
+import kernel_cost_epilogue as ce
 from casmvsnet_pl_tpu.ops.geometry import project_to_src
 from casmvsnet_pl_tpu.ops.grid_sample import pack_quad
 from casmvsnet_pl_tpu.ops.plane_sweep import _gather_rows_all_views

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from casmvsnet_pl_tpu.kernels.cost_epilogue import _taps
+from kernel_cost_epilogue import _taps
 from casmvsnet_pl_tpu.utils.devtime import device_time
 
 print("backend:", jax.default_backend(), flush=True)

@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from casmvsnet_pl_tpu.kernels import cost_epilogue as ce
+import kernel_cost_epilogue as ce
 from casmvsnet_pl_tpu.ops.plane_sweep import build_cost_volume
 from casmvsnet_pl_tpu.utils.devtime import device_time
 

@@ -39,7 +39,8 @@ def test_patch_config_feasibility():
                                    "split": 1}
     assert patch_config(8, 12)["groups"] == (4,)   # 12 % 8 != 0
     assert patch_config(16, 32)["split"] == 2      # two 128-lane half-tables
-    assert patch_config(32, 48) is None            # would need a 4-way split
+    assert patch_config(32, 48)["split"] == 4      # four 128-lane sub-tables
+    assert patch_config(64, 48) is None            # would need an 8-way split
     assert patch_config(8, 6) is None              # no feasible group size
 
 
@@ -185,27 +186,26 @@ def test_patch_split_channel_fallback_geometry():
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
-def test_patch_infeasible_falls_back():
-    # C=32 would need a 4-way split: "patch" resolves to the auto policy so
-    # the mode can be requested model-wide.
+def test_patch_four_way_split_matches_quad():
+    # C=32 (cascade level 2) runs as a 4-way channel split of 128-lane
+    # patch sub-tables; must agree with the exact quad path.
     feats, proj, dv = _scene(np.random.RandomState(10), C=32)
     q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
     p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
-    np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=0)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
-def test_auto_split_patch_only_under_train():
-    # split-channel patch wins TRAINING (430 vs 526 ms/step on v5e) but
-    # loses forward-only inference (129 vs 112 ms), so "auto" picks it only
-    # when train=True — the TPU analog of the reference's own train/eval
-    # asymmetry (/root/reference/models/mvsnet.py:150-156).
+def test_auto_prefers_patch_in_both_contexts():
+    # With the transposed-layout epilogue kernel the patch forward beats
+    # quad at every level and split factor (scripts/probe_epi5.py), so
+    # "auto" picks patch for train AND inference wherever it is feasible
+    # and the table stays in the gather fast regime.
     train_cfg = ps._resolve_sampling("auto", 16, 32, 256, 320, 2, train=True)
     eval_cfg = ps._resolve_sampling("auto", 16, 32, 256, 320, 2, train=False)
     assert train_cfg["mode"] == "patch" and train_cfg["split"] == 2
-    assert eval_cfg["mode"] == "quad"
-    # C=8 levels take patch in both contexts; explicit "patch" forces split
+    assert eval_cfg["mode"] == "patch" and eval_cfg["split"] == 2
     assert ps._resolve_sampling("auto", 8, 8, 512, 640, 2)["mode"] == "patch"
-    assert ps._resolve_sampling("patch", 16, 32, 256, 320, 2)["split"] == 2
+    assert ps._resolve_sampling("auto", 32, 48, 128, 160, 2)["split"] == 4
 
 
 def test_patch_table_row_guard(monkeypatch):
