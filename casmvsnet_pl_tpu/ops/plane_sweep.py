@@ -295,7 +295,7 @@ def patch_config(C: int, D: int):
 
 def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
                 height: int, width: int, ph: int, pw: int,
-                groups) -> Array:
+                groups, fb_align: int = 0) -> Array:
     """Warp one source view via patch-shared gathers: exact for any geometry.
 
     table: (B, H+2, W+2, ph*pw*C) from pack_patches. One gathered patch row
@@ -362,7 +362,7 @@ def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
 
     ops = {"x": xf, "y": yf, "valid": validf, "per_g": per_g}
     static = (height, width, ph, pw, tuple(sorted(groups)), D,
-              S, Ht, Wt, L, str(table.dtype))
+              S, Ht, Wt, L, str(table.dtype), fb_align)
     return _patch_sample(static, table, ops)
 
 
@@ -417,7 +417,7 @@ def _patch_sample(static, table: Array, ops) -> Array:
     Gradients flow to ``table`` only; ``ops`` coordinates are
     gradient-stopped by the caller (_patch_view).
     """
-    height, width, ph, pw, groups, D, S, Ht, Wt, L, _ = static
+    height, width, ph, pw, groups, D, S, Ht, Wt, L, _, fb_align = static
     B = table.shape[0]
     Ch = L // (ph * pw)                  # channels per split half
     C = Ch * S
@@ -458,7 +458,23 @@ def _patch_sample(static, table: Array, ops) -> Array:
         rows = _patch_gather(quad, idx)
         return _tap_reduce(rows, w4.reshape(B, -1, 4)).reshape(B, D, hw, C)
 
-    return _patch_nested_cond(groups, ops["per_g"], patch_fwd, quad_fwd)
+    def block_fwd():
+        # Past-the-row-cliff fallback (fb_align > 0): a quad table here
+        # would gather D*hw slow-regime rows; the aligned-block table is
+        # align-x smaller and was the previous production path at this
+        # resolution (_resolve_sampling). Features are recovered from the
+        # patch table's (0,0)-tap lanes, same as quad_fwd.
+        feat = jnp.concatenate(
+            [table[:, s, 1:height + 1, 1:width + 1, :Ch] for s in range(S)],
+            axis=-1)
+        btab = jax.vmap(lambda f: pack_blocks(f, fb_align))(feat)
+        x = ops["x"].reshape(B, -1)
+        y = ops["y"].reshape(B, -1)
+        o = _block_sample(btab, x, y, height, width, fb_align)
+        return o.reshape(B, D, hw, C)
+
+    fallback = block_fwd if fb_align > 0 else quad_fwd
+    return _patch_nested_cond(groups, ops["per_g"], patch_fwd, fallback)
 
 
 def _patch_sample_fwd(static, table, ops):
@@ -466,7 +482,13 @@ def _patch_sample_fwd(static, table, ops):
 
 
 def _patch_sample_bwd(static, ops, g_out):
-    height, width, ph, pw, groups, D, S, Ht, Wt, L, dtype_str = static
+    height, width, ph, pw, groups, D, S, Ht, Wt, L, dtype_str, _ = static
+    # NOTE on the fallback branch: when the forward's unfit-geometry branch
+    # is block_fwd (fb_align > 0) the backward still runs quad_bwd — both
+    # forwards compute the SAME exact bilinear sample of the same recovered
+    # features, so the cotangent wrt the patch table is identical math;
+    # quad_bwd is the cheaper adjoint to maintain and training resolutions
+    # never select fb_align > 0 anyway (_resolve_sampling row threshold).
     g_out = g_out.astype(jnp.float32)                        # (B, D, hw, C)
     B = g_out.shape[0]
     Ch = L // (ph * pw)
@@ -631,7 +653,18 @@ def _resolve_sampling(sampling, C: int, D: int, H: int, W: int,
         # split-channel patch a train-only win; the transposed kernel
         # removed that asymmetry.)
         if cfg is not None and (H + 2) * (W + 2) <= _ROW_THRESH:
-            return {"mode": "patch", **cfg}
+            return {"mode": "patch", **cfg, "fb_align": 0}
+        if cfg is not None:
+            # Past the row cliff (eval-res level 0: 999K-row/256MB table)
+            # the g-shared patch gathers STILL beat the aligned-block path
+            # — D/g-fold fewer slow-regime rows: 19.4 vs 33.6 ms/view at
+            # 1152x864, scripts/probe_blockT.py. Group spans fit less often
+            # at eval res (g=8 below ~20mm baselines, g=4 through ~50mm),
+            # so the runtime unfit-geometry fallback must be the block
+            # path, not a past-the-cliff quad table.
+            a = block_align(C, H, W, itemsize)
+            if a > 1:
+                return {"mode": "patch", **cfg, "fb_align": a}
     if sampling != "quad":
         a = block_align(C, H, W, itemsize)
         if a > 1:
@@ -683,18 +716,31 @@ def _block_view(table: Array, proj_mat: Array, depth_values: Array,
     one stacked-identity matmul — the same fast epilogue pattern as the
     quad path, just 2*(align+1)*C wide.
     """
-    B, Ht, nxb, L = table.shape
-    bw = 2 * (align + 1)
-    C = L // bw
+    B = table.shape[0]
+    C = table.shape[-1] // (2 * (align + 1))
     D = depth_values.shape[1]
-    hw = height * width
-    dtype = table.dtype
-
     coords = jax.vmap(
         lambda p, d: project_to_src(p, d, height, width))(proj_mat,
                                                           depth_values)
     x = coords[..., 0].astype(jnp.float32).reshape(B, -1)     # (B, N)
     y = coords[..., 1].astype(jnp.float32).reshape(B, -1)
+    o = _block_sample(table, x, y, height, width, align)
+    return o.reshape(B, D, height * width, C)
+
+
+def _block_sample(table: Array, x: Array, y: Array,
+                  height: int, width: int, align: int) -> Array:
+    """Aligned-block gather + hat-lane epilogue for precomputed coords.
+
+    table: (B, H+2, nxb, 2*(align+1)*C) from pack_blocks; x, y: (B, N) f32
+    projected source-pixel coordinates. Returns (B, N, C) float32 bilinear
+    samples with grid_sample zeros-padding semantics. Shared by _block_view
+    and the patch sampler's past-the-row-cliff fallback branch.
+    """
+    B, Ht, nxb, L = table.shape
+    bw = 2 * (align + 1)
+    C = L // bw
+    dtype = table.dtype
     vm = (((x > -1.0) & (x < float(width)) &
            (y > -1.0) & (y < float(height)))
           .astype(jnp.float32))[..., None]
@@ -727,10 +773,9 @@ def _block_view(table: Array, proj_mat: Array, depth_values: Array,
          jnp.maximum(0.0, 1.0 - jnp.abs(fy1 - dyl)) * vm)
     prod = rows * w.astype(dtype)
     kmat = jnp.asarray(_identity_stack(C, bw), dtype)
-    o = jax.lax.dot_general(
+    return jax.lax.dot_general(
         prod, kmat, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    return o.reshape(B, D, hw, C)
 
 
 def _quad_view(table: Array, proj_mat: Array, depth_values: Array,
@@ -827,7 +872,8 @@ def _sample_view(tables_v: Array, proj_mat_v: Array, depth_values: Array,
                            width, cfg["align"])
     if cfg["mode"] == "patch":
         return _patch_view(tables_v, proj_mat_v, depth_values, height,
-                           width, cfg["ph"], cfg["pw"], cfg["groups"])
+                           width, cfg["ph"], cfg["pw"], cfg["groups"],
+                           cfg.get("fb_align", 0))
     return _window_view(tables_v, proj_mat_v, depth_values, height, width,
                         cfg["strip_w"], cfg["window_h"], cfg["depth_group"])
 
@@ -924,7 +970,8 @@ def _maybe_barrier(cfg, *arrays):
     barrier = os.environ.get("CASMVS_CV_BARRIER", "auto")
     use = (barrier == "1"
            or (barrier == "auto" and cfg is not None
-               and cfg.get("mode") == "block"))
+               and (cfg.get("mode") == "block"
+                    or cfg.get("fb_align", 0) > 0)))
     if not use:
         return arrays if len(arrays) > 1 else arrays[0]
     out = jax.lax.optimization_barrier(arrays)

@@ -209,11 +209,49 @@ def test_auto_prefers_patch_in_both_contexts():
 
 
 def test_patch_table_row_guard(monkeypatch):
-    # past the gather row cliff the patch mode must defer to the auto/block
-    # policy instead of gathering from a slow table
+    # Past the gather row cliff the patch mode stays patch — the g-shared
+    # gathers beat the block path even at the slow-regime row rate
+    # (scripts/probe_blockT.py: 19.4 vs 33.6 ms/view at eval-res L0) — but
+    # the unfit-geometry fallback switches from quad to the aligned-block
+    # path (fb_align). Where blocks are infeasible (C=32: a_max=1) the mode
+    # defers to quad rather than gather from a slow fallback table.
     monkeypatch.setattr(ps, "_ROW_THRESH", 500)
     cfg = ps._resolve_sampling("patch", 8, 8, 32, 40)
-    assert cfg["mode"] == "block"
+    assert cfg["mode"] == "patch" and cfg["fb_align"] == 7
+    cfg = ps._resolve_sampling("patch", 32, 48, 32, 40)
+    assert cfg["mode"] == "quad"
+
+
+def test_patch_block_fallback_exact(monkeypatch):
+    # eval-res L0 policy (fb_align > 0): the nested cond's unfit branch is
+    # the aligned-block sampler instead of a past-the-cliff quad table.
+    # Both the fitting (patch branch) and non-fitting (block branch)
+    # geometries must match the exact quad path.
+    monkeypatch.setattr(ps, "_ROW_THRESH", 500)
+    for seed, kw in ((21, {}),                                # g=8 fits
+                     (22, dict(tx=900.0, dmin=30.0, dint=8.0))):  # -> block
+        feats, proj, dv = _scene(np.random.RandomState(seed), B=1, **kw)
+        assert ps._resolve_sampling("patch", 8, 8, 32, 40)["fb_align"] == 7
+        q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
+        p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+        np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
+
+
+def test_patch_block_fallback_gradients(monkeypatch):
+    # The custom VJP runs quad_bwd for the fallback branch even when the
+    # forward took block_fwd — both forwards are the same exact bilinear
+    # sample, so the cotangent is identical math. Pin that claim.
+    monkeypatch.setattr(ps, "_ROW_THRESH", 200)
+    feats, proj, dv = _scene(np.random.RandomState(23), B=1, H=16, W=24,
+                             tx=900.0, dmin=30.0, dint=8.0)
+
+    def loss(f, sampling):
+        return jnp.sum(build_cost_volume(f, proj, dv, remat=False,
+                                         sampling=sampling) ** 2)
+
+    gq = jax.grad(lambda f: loss(f, "quad"))(feats)
+    gp = jax.grad(lambda f: loss(f, "patch"))(feats)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gp), atol=2e-6)
 
 
 def test_cascade_patch_sampling_runs():
