@@ -56,30 +56,42 @@ _GATHER_FOLD_LIMIT = 24 * 1024 * 1024
 
 
 def banded_cfg(Hq: int, Wq: int, D: int, H: int, W: int):
-    """Static banding parameters for a level, or None to use the default VJP.
+    """Static banding parameters for a level, or None to use a monolithic
+    scatter.
 
     Returns (tile_rows, band_rows, d_split): reference-image rows per tile,
     source-table rows per band (band_rows * Wq scatter-target rows, kept
     under the cliff), and the number of depth-axis groups (bounding the
     epipolar drift per tile so bands hold on real geometry).
+
+    Policy from the round-3 tile sweep (scripts/probe_scatter3.py, v5e,
+    DTU train-res geometry): banding wins only when each tile's updates
+    amortize the band read-modify-write — updates/tile >= band targets.
+    That keeps the round-2 quad wins (L0 quad: 8 hypotheses x 16 rows =
+    82K upd vs 25.6K band targets, 23 vs 41 ms mono) and routes the patch
+    backward at L0 (ng=1: 10K upd/tile, banding measured 12.2 vs mono
+    10.8 ms) to the monolithic path. Within that, the largest tile with
+    2x drift headroom wins: tr=64 at L2 (2.66 vs 3.61 ms mono), tr=32 at
+    L1 (8.70 vs 9.82 at the old tr=16). Batch-unrolling the monolithic
+    scatter does not help (probe_scatter3b: fold ~= unroll).
     """
     if os.environ.get("CASMVS_BANDED_BWD", "1") == "0":
         return None
-    if Hq * Wq <= _SCATTER_FAST_ROWS:
-        return None                       # already in the fast regime
+    if Hq * Wq <= 8_192:
+        return None                       # tiny tables: mono is fine
     band_rows = min(Hq, (_SCATTER_FAST_ROWS // Wq) // 8 * 8)
-    if band_rows < 16:
+    if band_rows < 32:
         return None                       # band too thin to cover any drift
-    if H % 16 == 0:
-        tile_rows = 16
-    elif H % 8 == 0:
-        tile_rows = 8
-    else:
-        return None
     # Depth groups of <= 8 consecutive hypotheses: the cascade's recentered
     # windows drift sub-pixel per hypothesis, so 8 stay well inside a band.
     d_split = D // 8 if (D % 8 == 0 and D > 8) else 1
-    return tile_rows, band_rows, d_split
+    gd = D // d_split
+    for tile_rows in (64, 32, 16, 8):
+        if H % tile_rows or 2 * tile_rows > band_rows:
+            continue
+        if gd * tile_rows * W >= band_rows * Wq:   # amortize the band RMW
+            return tile_rows, band_rows, d_split
+    return None
 
 
 def _banded_grad_one(idx_b: Array, valid_b: Array, g_b: Array, D: int,

@@ -112,12 +112,21 @@ def test_batched_unfolded_path():
 
 
 def test_policy_train_res():
-    # L2 (129x161 = 20.8K rows): under the scatter cliff -> default VJP
-    assert banded_cfg(129, 161, 48, 128, 160) is None
-    # L1: 82.5K rows -> band 80 src rows (25.7K targets), 4 depth groups
-    assert banded_cfg(257, 321, 32, 256, 320) == (16, 80, 4)
-    # L0: 329K rows -> band 40 src rows (25.6K targets), single depth group
+    """Pins the round-3 tile-sweep policy (scripts/probe_scatter3.py)."""
+    # quad tables (Hq = H+1): banding engages at every level; the largest
+    # tile with 2x drift headroom wins (tr=64 at L2, 32 at L1, 16 at L0)
+    assert banded_cfg(129, 161, 48, 128, 160) == (64, 129, 6)
+    assert banded_cfg(257, 321, 32, 256, 320) == (32, 80, 4)
     assert banded_cfg(513, 641, 8, 512, 640) == (16, 40, 1)
+    # patch tables (Ht = H+2, D = ng depth groups): L1/L2 band; L0's
+    # single group (10K updates/tile vs 25.6K band targets) cannot
+    # amortize the band read-modify-write -> monolithic scatter
+    assert banded_cfg(130, 162, 6, 128, 160) == (64, 130, 1)
+    assert banded_cfg(258, 322, 4, 256, 320) == (32, 80, 1)
+    assert banded_cfg(514, 642, 1, 512, 640) is None
+    # tiny test tables stay monolithic; thin bands (eval-res widths) too
+    assert banded_cfg(65, 65, 8, 64, 64) is None
+    assert banded_cfg(866, 1154, 8, 864, 1152) is None
 
 
 def test_policy_env_gate(monkeypatch):
