@@ -1,6 +1,15 @@
 """Headline benchmark: depth-maps/sec/chip at DTU 640x512, 3 views.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line per measured batch size; the LAST line is the final
+summary {"metric", "value", "unit", "vs_baseline"} (the driver parses the
+tail, so every intermediate line is a valid fallback summary carrying the
+best-so-far value).
+
+Robustness contract (round-4 fix for the r3 rc=124 artifact): batch 1 is
+measured FIRST and its summary printed IMMEDIATELY, so a later batch that
+hangs or blows the remote compiler can no longer destroy the artifact.
+The sweep self-bounds with a wall-clock budget: remaining batches are
+skipped once elapsed time passes BUDGET_S.
 
 Baseline derivation (the reference never benchmarks this exact config):
 its notebook measures 0.756 s/view on an RTX 2080Ti at 1152x864 x 5 views
@@ -20,10 +29,13 @@ bf16 matmul measures 197 TFLOP/s on v5e.
 from __future__ import annotations
 
 import json
+import sys
+import time
 
 import numpy as np
 
 BASELINE_MAPS_PER_SEC = 4.0          # RTX 2080Ti estimate, see module docstring
+BUDGET_S = 300.0                     # wall-clock budget for the whole sweep
 
 
 def make_inputs(batch: int, H: int, W: int, n_views: int):
@@ -37,8 +49,19 @@ def make_inputs(batch: int, H: int, W: int, n_views: int):
     return imgs, proj
 
 
+def emit(best: float) -> None:
+    """Print a summary JSON line; the driver parses the LAST such line."""
+    print(json.dumps({
+        "metric": "depth_maps_per_sec_per_chip_640x512_3views",
+        "value": round(best, 3),
+        "unit": "maps/s",
+        "vs_baseline": round(best / BASELINE_MAPS_PER_SEC, 3),
+    }), flush=True)
+
+
 def bench_forward(batch: int = 2, H: int = 512, W: int = 640,
-                  n_views: int = 3, iters: int = 16, groups: int = 1):
+                  n_views: int = 3, iters: int = 16, groups: int = 1,
+                  _cache={}):
     import jax
     import jax.numpy as jnp
     from casmvsnet_pl_tpu.models import CascadeMVSNet
@@ -46,11 +69,18 @@ def bench_forward(batch: int = 2, H: int = 512, W: int = 640,
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    model = CascadeMVSNet(dtype=dtype, num_groups=groups, remat=False)
     imgs, proj = make_inputs(batch, H, W, n_views)
     imgs, proj = jnp.asarray(imgs), jnp.asarray(proj)
-    variables = model.init(jax.random.PRNGKey(0), imgs[:, :, :64, :64],
-                           proj, 425.0, 2.65)
+    # One model + one set of variables for the whole sweep: params are
+    # batch-independent and re-init would re-compile through the slow
+    # remote compiler for every batch size.
+    if "model" not in _cache:
+        _cache["model"] = CascadeMVSNet(dtype=dtype, num_groups=groups,
+                                        remat=False)
+        _cache["vars"] = _cache["model"].init(
+            jax.random.PRNGKey(0), imgs[:1, :, :64, :64], proj[:1],
+            425.0, 2.65)
+    model, variables = _cache["model"], _cache["vars"]
 
     def forward(imgs, proj):
         out = model.apply(variables, imgs, proj, 425.0, 2.65)
@@ -63,10 +93,15 @@ def bench_forward(batch: int = 2, H: int = 512, W: int = 640,
 def main():
     import jax
     on_tpu = jax.default_backend() == "tpu"
+    t0 = time.time()
+    best = 0.0
     if on_tpu:
-        import sys
-        best = 0.0
         for batch in (1, 4, 8):      # batch 16 overflows the remote compiler
+            elapsed = time.time() - t0
+            if best > 0.0 and elapsed > BUDGET_S:
+                print(f"bench: budget exhausted ({elapsed:.0f}s), "
+                      f"skipping batch>={batch}", file=sys.stderr)
+                break
             try:
                 mps = bench_forward(batch=batch)
             except Exception as e:
@@ -74,15 +109,11 @@ def main():
                 break
             print(f"bench batch={batch}: {mps:.2f} maps/s", file=sys.stderr)
             best = max(best, mps)
+            emit(best)               # last line wins; never lose batch 1
     else:
         # CPU smoke mode: tiny shapes, not a performance statement
         best = bench_forward(batch=1, H=64, W=64, iters=3)
-    print(json.dumps({
-        "metric": "depth_maps_per_sec_per_chip_640x512_3views",
-        "value": round(best, 3),
-        "unit": "maps/s",
-        "vs_baseline": round(best / BASELINE_MAPS_PER_SEC, 3),
-    }))
+        emit(best)
 
 
 if __name__ == "__main__":
