@@ -37,13 +37,19 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool | None = None,
-                 seed: int = 0):
+                 pad_last: bool = False, seed: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         # fixed shapes for XLA: always drop ragged final batch when shuffling
         self.drop_last = drop_last if drop_last is not None else shuffle
+        # pad_last: keep fixed shapes AND cover every sample — the ragged
+        # final batch is padded to batch_size by repeating real samples with
+        # their visibility masks zeroed, so the padded rows contribute
+        # nothing to the mask-gated loss/metric sums (the reference's val
+        # loop evaluates every sample, /root/reference/train.py:92-97).
+        self.pad_last = pad_last and not self.drop_last
         self._rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -71,7 +77,41 @@ class DataLoader:
             for bi in range(nb):
                 if bi + ahead < nb:
                     submit(bi + ahead)
-                yield collate(list(pending.popleft()))
+                batch = collate(list(pending.popleft()))
+                n_real = min(self.batch_size,
+                             len(self.dataset) - bi * self.batch_size)
+                if self.pad_last and n_real < self.batch_size:
+                    batch = pad_batch(batch, self.batch_size, n_real)
+                yield batch
+
+
+def pad_batch(batch: dict, batch_size: int, n_real: int) -> dict:
+    """Pad a ragged batch to ``batch_size`` rows with mask-zeroed repeats.
+
+    Every array is padded along axis 0 by repeating its last real row; the
+    ``masks`` pyramid is zeroed on padded rows so they are invisible to the
+    mask-gated loss and pixel-weighted metric sums.
+    """
+    pad = batch_size - n_real
+
+    def pad_arr(x):
+        if isinstance(x, list):
+            return x + [x[-1]] * pad
+        reps = np.repeat(x[-1:], pad, axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    out = {}
+    for key, val in batch.items():
+        if isinstance(val, dict):
+            out[key] = {k: pad_arr(v) for k, v in val.items()}
+        else:
+            out[key] = pad_arr(val)
+    if "masks" in out:
+        for k, v in out["masks"].items():
+            v = v.copy()
+            v[n_real:] = 0
+            out["masks"][k] = v
+    return out
 
 
 def prefetch_to_device(iterator: Iterator[dict], size: int = 2,

@@ -47,8 +47,12 @@ def main(hparams):
     train_loader = DataLoader(train_ds, hparams.batch_size, shuffle=True,
                               num_workers=hparams.num_workers,
                               seed=hparams.seed)
+    # pad+mask instead of drop_last: every val sample counts (the padded
+    # rows carry zeroed masks, invisible to the pixel-weighted sums),
+    # matching the reference's full-coverage validation
+    # (/root/reference/train.py:92-97) while keeping XLA shapes static.
     val_loader = DataLoader(val_ds, hparams.batch_size, shuffle=False,
-                            drop_last=True,
+                            drop_last=False, pad_last=True,
                             num_workers=hparams.num_workers)
 
     cfg = OptimConfig(
