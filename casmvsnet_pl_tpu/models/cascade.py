@@ -66,13 +66,13 @@ class CascadeMVSNet(nn.Module):
     # inference-resolution training or small-memory chips.
     remat: bool = False
     # plane-sweep sampling strategy (ops/plane_sweep.py::_resolve_sampling):
-    # "auto" picks per level — PATCH-shared gathers where lane-feasible
-    # (C <= 8: one 4x4-patch row serves a whole depth-hypothesis group,
-    # exact via a runtime group-fit fallback; 599 -> 526 ms/train-step on
-    # v5e), aligned-BLOCK tables at large resolutions (gather fast regime),
-    # plain QUAD rows elsewhere. "quad"/"patch"/"window" force a strategy;
-    # "window" is a bounded approximation kept for hardware with a
-    # different gather/VPU cost ratio.
+    # "auto" uses PATCH-shared gathers at every cascade level (one 4x4-patch
+    # row serves a whole depth-hypothesis group, split-channel up to C=32;
+    # exact via runtime group-fit fallbacks), with aligned-BLOCK tables as
+    # the past-the-cliff / unfit-geometry fallback at large resolutions and
+    # plain QUAD rows as the last resort. "quad"/"patch"/"window" force a
+    # strategy; "window" is a bounded approximation kept for hardware with
+    # a different gather/VPU cost ratio.
     sampling: str = "auto"
 
     levels: int = 3
@@ -112,7 +112,7 @@ class CascadeMVSNet(nn.Module):
         """
         volume = build_cost_volume(feats, proj_mats, depth_values,
                                    groups=self.num_groups, remat=self.remat,
-                                   sampling=self.sampling, train=train)
+                                   sampling=self.sampling)
         cost = self.cost_regs[level](volume, train)           # (B, D, h, w)
         prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
         depth = depth_regression(prob, depth_values)

@@ -55,6 +55,34 @@ _SCATTER_FAST_ROWS = 26_000
 _GATHER_FOLD_LIMIT = 24 * 1024 * 1024
 
 
+def batched_take(table: Array, idx: Array) -> Array:
+    """Per-batch-element row gather: (B, R, L) table, (B, N) idx -> (B, N, L).
+
+    Small tables fold into ONE gather over the concatenated rows (fast
+    regime, no loop). Past the fold byte limit the folded table falls off
+    the gather-rate cliff (12-13 ns/row), so large tables gather per batch
+    element — inside ONE lax.scan, not a Python unroll: the unroll emitted
+    O(B) gather+stack HLO ops, ran 7-9 ns/row (the stack copy), inverted
+    bench batch scaling (27.8 maps/s at B=1 vs 22.5 at B=4, round 3) and
+    blew the B=8 compile budget. The scan measures a flat 4.1-4.2 ns/row
+    at B=2..8 with constant-size HLO (scripts/probe_batch_scale.py).
+    Reverse-differentiable (scan), though production samplers wrap it in
+    custom VJPs.
+    """
+    B, R, L = table.shape
+    if table.size * table.dtype.itemsize <= _GATHER_FOLD_LIMIT or B == 1:
+        flat = table.reshape(B * R, L)
+        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
+        return jnp.take(flat, fidx.reshape(-1), axis=0).reshape(B, -1, L)
+
+    def body(_, ti):
+        t, i = ti
+        return (), jnp.take(t, i, axis=0)
+
+    _, rows = jax.lax.scan(body, (), (table, idx))
+    return rows
+
+
 def banded_cfg(Hq: int, Wq: int, D: int, H: int, W: int):
     """Static banding parameters for a level, or None to use a monolithic
     scatter.
@@ -160,10 +188,16 @@ def banded_scatter_add(geom, Hq: int, Wq: int, idx: Array, valid: Array,
     D, H, W, tile_rows, band_rows, d_split = geom
     B = idx.shape[0]
     L = updates.shape[-1]
-    grads = jnp.stack([
-        _banded_grad_one(idx[b], valid[b], updates[b].reshape(-1, L),
-                         D, H, W, Hq, Wq, tile_rows, band_rows, d_split)
-        for b in range(B)])
+
+    # lax.scan over batch, not a Python unroll: same per-element work, but
+    # constant-size HLO and no O(B * Hq*Wq*L) stack copy at the end (the
+    # gather-side measurement and rationale live on batched_take above).
+    def body(_, x):
+        i, v, u = x
+        return (), _banded_grad_one(i, v, u.reshape(-1, L), D, H, W,
+                                    Hq, Wq, tile_rows, band_rows, d_split)
+
+    _, grads = jax.lax.scan(body, (), (idx, valid, updates))
     return grads.reshape(B, Hq, Wq, L)
 
 
@@ -179,13 +213,7 @@ def take_quad_banded(geom, tables: Array, idx: Array,
     Returns rows (B, N, L) in tables.dtype.
     """
     B, Hq, Wq, L = tables.shape
-    if tables.size * tables.dtype.itemsize <= _GATHER_FOLD_LIMIT or B == 1:
-        flat = tables.reshape(B * Hq * Wq, L)
-        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Hq * Wq))[:, None]
-        return jnp.take(flat, fidx.reshape(-1), axis=0).reshape(B, -1, L)
-    return jnp.stack([
-        jnp.take(tables[b].reshape(Hq * Wq, L), idx[b], axis=0)
-        for b in range(B)])
+    return batched_take(tables.reshape(B, Hq * Wq, L), idx)
 
 
 def _tqb_fwd(geom, tables, idx, valid):

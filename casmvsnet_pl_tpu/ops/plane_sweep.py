@@ -62,7 +62,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels.patch_epilogue import epilogue_bwd, epilogue_fwd
-from .banded_take import banded_cfg, banded_scatter_add, take_quad_banded
+from .banded_take import (banded_cfg, banded_scatter_add, batched_take,
+                          take_quad_banded)
 from .geometry import project_to_src
 from .grid_sample import (grid_sample, grid_sample_quad, pack_blocks,
                           pack_patches, pack_quad, pack_strips, quad_weights)
@@ -230,13 +231,13 @@ def _window_view(src_strips: Array, proj_mat: Array, depth_values: Array,
     yi = y_org.astype(jnp.int32) + 1
 
     # window_h gathers per group; tables are large by construction, so
-    # gathers are unrolled per batch element (fast-rate regime).
+    # gathers run per batch element (fast-rate regime) via the shared
+    # fold-or-scan helper.
     flat = src_strips.reshape(B, Ht * Wt, SC)
     rows = []
     for j in range(window_h):
         idx = (yi + j) * Wt + xi                              # (B, ng, hw)
-        r = jnp.stack([jnp.take(flat[b], idx[b].reshape(-1), axis=0)
-                       for b in range(B)])
+        r = batched_take(flat, idx.reshape(B, -1))
         rows.append(r.reshape(B, ng, 1, hw, SC))
 
     fx1 = jnp.clip(x - x_org[:, :, None, :], 0.0, strip_w - 1.0)[..., None]
@@ -367,15 +368,11 @@ def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
 
 
 def _patch_gather(table: Array, idx: Array) -> Array:
-    """Fold-or-unroll row gather shared by the patch forward paths."""
+    """Fold-or-scan row gather shared by the patch forward paths
+    (ops/banded_take.batched_take — one lax.scan over batch past the fold
+    limit, constant-size HLO at any batch)."""
     B, Ht, Wt, L = table.shape
-    if table.size * table.dtype.itemsize <= _FOLD_LIMIT or B == 1:
-        flat = table.reshape(B * Ht * Wt, L)
-        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Ht * Wt))[:, None]
-        return jnp.take(flat, fidx.reshape(-1), axis=0).reshape(B, -1, L)
-    return jnp.stack([
-        jnp.take(table[b].reshape(Ht * Wt, L), idx[b], axis=0)
-        for b in range(B)])
+    return batched_take(table.reshape(B, Ht * Wt, L), idx)
 
 
 def _patch_frac(x, y, valid, x_org, y_org, ph, pw):
@@ -482,13 +479,26 @@ def _patch_sample_fwd(static, table, ops):
 
 
 def _patch_sample_bwd(static, ops, g_out):
-    height, width, ph, pw, groups, D, S, Ht, Wt, L, dtype_str, _ = static
+    height, width, ph, pw, groups, D, S, Ht, Wt, L, dtype_str, fb = static
     # NOTE on the fallback branch: when the forward's unfit-geometry branch
     # is block_fwd (fb_align > 0) the backward still runs quad_bwd — both
     # forwards compute the SAME exact bilinear sample of the same recovered
     # features, so the cotangent wrt the patch table is identical math;
     # quad_bwd is the cheaper adjoint to maintain and training resolutions
     # never select fb_align > 0 anyway (_resolve_sampling row threshold).
+    if fb > 0:
+        # Differentiating a past-the-row-cliff (eval-resolution) config is
+        # correct but runs quad_bwd's fallback as a MONOLITHIC scatter into
+        # a ~1M-row quad-table gradient (banded_cfg declines: band thinner
+        # than 32 rows) — a slow-regime, high-memory surprise worth a
+        # signal (ADVICE r3).
+        warnings.warn(
+            "differentiating a plane-sweep config with fb_align > 0 "
+            f"({height}x{width}: past the gather row cliff): the unfit-"
+            "geometry branch backward scatters monolithically into a "
+            f"{Ht * Wt}-row table gradient — slow and memory-hungry; "
+            "training at this resolution is not a tuned path.",
+            stacklevel=2)
     g_out = g_out.astype(jnp.float32)                        # (B, D, hw, C)
     B = g_out.shape[0]
     Ch = L // (ph * pw)
@@ -619,7 +629,7 @@ def block_align(C: int, H: int, W: int, itemsize: int = 2) -> int:
 
 
 def _resolve_sampling(sampling, C: int, D: int, H: int, W: int,
-                      itemsize: int = 2, train: bool = False):
+                      itemsize: int = 2):
     """Map a sampling mode string to a per-level sampler config dict.
 
     "auto"/"quad" use one gather row per (pixel, depth, view): a plain quad
@@ -753,14 +763,20 @@ def _block_sample(table: Array, x: Array, y: Array,
     idx = yi * nxb + xb                                       # (B, N)
 
     n_rows = B * Ht * nxb
-    flat = table.reshape(n_rows, L)
     if n_rows <= _ROW_THRESH or B == 1:
+        flat = table.reshape(n_rows, L)
         fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Ht * nxb))[:, None]
         rows = jnp.take(flat, fidx.reshape(-1), axis=0).reshape(B, -1, L)
     else:
-        rows = jnp.stack([
-            jnp.take(table[b].reshape(Ht * nxb, L), idx[b], axis=0)
-            for b in range(B)])
+        # per-element gathers inside one lax.scan (see banded_take.batched_take
+        # for the measured unroll-vs-scan rates); the fold gate here is by ROW
+        # COUNT because block tables are built to sit under the byte limit.
+        def body(_, ti):
+            t, i = ti
+            return (), jnp.take(t, i, axis=0)
+
+        _, rows = jax.lax.scan(body, (),
+                               (table.reshape(B, Ht * nxb, L), idx))
 
     # tap (dy, dx) at lane (dy*(align+1)+dx)*C + c covers image pixel
     # (yi-1+dy, xb*align-1+dx); bilinear = hat products at those positions
@@ -881,8 +897,7 @@ def _sample_view(tables_v: Array, proj_mat_v: Array, depth_values: Array,
 def batched_variance_cost_volume(feats: Array, proj_mats: Array,
                                  depth_values: Array,
                                  remat: bool = True,
-                                 sampling: str = "auto",
-                                 train: bool = False) -> Array:
+                                 sampling: str = "auto") -> Array:
     """Variance cost volume over V views: E[f^2] - E[f]^2, batch-native.
 
     The reference view participates as an un-warped volume broadcast over
@@ -898,7 +913,7 @@ def batched_variance_cost_volume(feats: Array, proj_mats: Array,
     D = depth_values.shape[1]
     dtype = feats.dtype
     ref, srcs = feats[:, 0], feats[:, 1:]
-    cfg = _resolve_sampling(sampling, C, D, H, W, dtype.itemsize, train)
+    cfg = _resolve_sampling(sampling, C, D, H, W, dtype.itemsize)
     tables = _pack_tables(srcs, cfg)
 
     def build(tables, proj_mats, depth_values, ref):
@@ -921,8 +936,7 @@ def batched_variance_cost_volume(feats: Array, proj_mats: Array,
 def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
                                   depth_values: Array, groups: int,
                                   remat: bool = True,
-                                  sampling: str = "auto",
-                                  train: bool = False) -> Array:
+                                  sampling: str = "auto") -> Array:
     """Groupwise-correlation cost volume, batch-native.
 
     sim_g = mean_{c in group g}(warped_c * ref_c), summed over source views
@@ -936,7 +950,7 @@ def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
     D = depth_values.shape[1]
     dtype = feats.dtype
     ref, srcs = feats[:, 0], feats[:, 1:]
-    cfg = _resolve_sampling(sampling, C, D, H, W, dtype.itemsize, train)
+    cfg = _resolve_sampling(sampling, C, D, H, W, dtype.itemsize)
     tables = _pack_tables(srcs, cfg)
 
     def build(tables, proj_mats, depth_values, ref):
@@ -978,11 +992,10 @@ def _maybe_barrier(cfg, *arrays):
     return out if len(arrays) > 1 else out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "remat", "sampling",
-                                              "train"))
+@functools.partial(jax.jit, static_argnames=("groups", "remat", "sampling"))
 def build_cost_volume(feats: Array, proj_mats: Array, depth_values: Array,
                       groups: int = 1, remat: bool = True,
-                      sampling: str = "auto", train: bool = False) -> Array:
+                      sampling: str = "auto") -> Array:
     """Batched cost volume dispatcher.
 
     feats: (B, V, H, W, C); proj_mats: (B, V-1, 3, 4);
@@ -990,13 +1003,13 @@ def build_cost_volume(feats: Array, proj_mats: Array, depth_values: Array,
     """
     cfg = _resolve_sampling(sampling, feats.shape[-1],
                             depth_values.shape[1], feats.shape[2],
-                            feats.shape[3], feats.dtype.itemsize, train)
+                            feats.shape[3], feats.dtype.itemsize)
     feats, proj_mats, depth_values = _maybe_barrier(
         cfg, feats, proj_mats, depth_values)
     if groups == 1:
         vol = batched_variance_cost_volume(feats, proj_mats, depth_values,
-                                           remat, sampling, train)
+                                           remat, sampling)
     else:
         vol = batched_groupwise_cost_volume(feats, proj_mats, depth_values,
-                                            groups, remat, sampling, train)
+                                            groups, remat, sampling)
     return _maybe_barrier(cfg, vol)

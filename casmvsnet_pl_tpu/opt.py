@@ -80,7 +80,10 @@ def get_opts(argv=None):
     parser.add_argument('--sampling', type=str, default='auto',
                         choices=['auto', 'quad', 'window', 'patch'],
                         help='plane-sweep sampling strategy (see '
-                             'ops/plane_sweep.py; auto=quad on v5e)')
+                             'ops/plane_sweep.py; auto=patch-shared gathers '
+                             'at every cascade level, with aligned-block '
+                             'tables as the unfit-geometry / past-the-cliff '
+                             'fallback)')
     parser.add_argument('--num_workers', type=int, default=4)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--exp_name', type=str, default='exp')

@@ -47,7 +47,7 @@ def main():
     for name, C, D, H, W in (("L2", 32, 48, 128, 160),
                              ("L1", 16, 32, 256, 320),
                              ("L0", 8, 8, 512, 640)):
-        cfg = ps._resolve_sampling("patch", C, D, H, W, 2, train=True)
+        cfg = ps._resolve_sampling("patch", C, D, H, W, 2)
         assert cfg["mode"] == "patch", cfg
         ph, pw, S = cfg["ph"], cfg["pw"], cfg["split"]
         cs = C // S
@@ -147,7 +147,7 @@ def main():
             f3 = jnp.stack([feat, feat, feat], axis=1)
             return jnp.sum(ps.build_cost_volume(
                 f3, jnp.tile(proj, (1, 2, 1, 1)), dv, remat=False,
-                sampling="patch", train=True))
+                sampling="patch"))
 
         t("CV f+b (2 views, grad wrt feats)", lambda f: jnp.sum(
             jax.grad(cv_fb)(f).astype(jnp.float32)), feat, iters=4)

@@ -53,7 +53,7 @@ def main():
     for name, C, D, H, W in (("L2", 32, 48, 128, 160),
                              ("L1", 16, 32, 256, 320),
                              ("L0", 8, 8, 512, 640)):
-        cfg = ps._resolve_sampling("patch", C, D, H, W, 2, train=True)
+        cfg = ps._resolve_sampling("patch", C, D, H, W, 2)
         ph, pw, S = cfg["ph"], cfg["pw"], cfg["split"]
         cs = C // S
         L = ph * pw * cs

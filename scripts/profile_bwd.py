@@ -68,7 +68,7 @@ def main():
 
         def closs(fe, pr, d):
             return jnp.sum(build_cost_volume(fe, pr, d, groups=1,
-                                             remat=False, train=True)
+                                             remat=False)
                            .astype(jnp.float32) ** 2)
 
         t(f"warp+cost L{l} fwd+bwd", lambda fe, pr, d: jnp.sum(
