@@ -104,6 +104,28 @@ class PlaneScene:
         tv = (Yw / span + 0.5) * (th - 1)
         return _sample_texture(self.texture, tu, tv).astype(np.float32)
 
+    def surface_points(self, step: int = 1) -> np.ndarray:
+        """Exact GT surface points (world frame, scene units) for all views.
+
+        Backprojects every ``step``-th pixel of every view's closed-form
+        depth map: with identity rotation and camera v centered at
+        (v*baseline, 0, 0), world = (X_cam + v*baseline, Y_cam, z). The
+        union over views is the observed surface — the "stl" ground truth
+        for point-cloud benchmarking (evaluation/dtu_eval.py) of clouds
+        fused from this scene's predictions.
+        """
+        W, H = self.img_wh
+        cx, cy, f = self.K[0, 2], self.K[1, 2], self.focal
+        u, v = np.meshgrid(np.arange(0, W, step, dtype=np.float32),
+                           np.arange(0, H, step, dtype=np.float32))
+        pts = []
+        for view in range(self.n_views):
+            z = self.depth_map(view)[::step, ::step]
+            X = (u - cx) / f * z + view * self.baseline
+            Y = (v - cy) / f * z
+            pts.append(np.stack([X, Y, z], axis=-1).reshape(-1, 3))
+        return np.concatenate(pts).astype(np.float64)
+
     def proj_mats_level(self, level_scale: float = 1.0) -> np.ndarray:
         """Absolute 4x4 projections K_s @ E per view at a resolution scale."""
         mats = []

@@ -2,51 +2,18 @@ import os
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
-from casmvsnet_pl_tpu.data import DataLoader, DTUDataset
+from conftest import Subset
 from casmvsnet_pl_tpu.data.loader import collate
-from casmvsnet_pl_tpu.data.synthetic import write_dtu_tree
 from casmvsnet_pl_tpu.engine import MVSTrainer
-from casmvsnet_pl_tpu.models import CascadeMVSNet
 from casmvsnet_pl_tpu.parallel import make_mesh
 from casmvsnet_pl_tpu.utils import OptimConfig
 
 pytestmark = pytest.mark.slow  # full-model tier: minutes of CPU compile
 
 
-class _Subset:
-    def __init__(self, ds, n):
-        self.ds, self.n = ds, min(n, len(ds))
-
-    def __len__(self):
-        return self.n
-
-    def __getitem__(self, i):
-        return self.ds[i]
-
-
-@pytest.fixture(scope="module")
-def setup(tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("dtu"))
-    write_dtu_tree(root, scans=("synth1", "synth2"), n_cams=5)
-    lists = str(tmp_path_factory.mktemp("lists"))
-    for split, scans in [("train", ["synth1"]), ("val", ["synth2"])]:
-        with open(os.path.join(lists, f"{split}.txt"), "w") as f:
-            f.write("\n".join(scans) + "\n")
-
-    class TinyDTU(DTUDataset):
-        NATIVE_WH = (256, 256)
-        DEPTH_CROP = ((32, 96), (32, 96))
-        N_CAMS = 5
-        LISTS_DIR = lists
-
-    model = CascadeMVSNet(n_depths=(8, 8, 16), interval_ratios=(1., 2., 4.))
-    return root, TinyDTU, model
-
-
-def test_fit_quality_and_artifacts(setup, tmp_path):
+def test_fit_quality_and_artifacts(quality_fit):
     """One fit covers convergence QUALITY and trainer ARTIFACTS.
 
     End-to-end quality with stated mm thresholds (VERDICT r2 item 4):
@@ -59,34 +26,11 @@ def test_fit_quality_and_artifacts(setup, tmp_path):
     (/root/reference/README.md:47-53); the one-command real-DTU runbook
     is in README.md for when a dataset is mounted.
 
-    The same run checks the fit loop's artifacts (top-k checkpoints,
-    last.ckpt, tensorboard events) — previously a separate 3-epoch fit
-    with its own compile set (~200 s of XLA:CPU compile, VERDICT r2
-    item 5's suite diet).
+    The fit itself runs ONCE per session (conftest.quality_fit) and is
+    shared with the fused-point-cloud quality test
+    (tests/test_eval_pipeline.py), which loads its checkpoints.
     """
-    root, TinyDTU, model = setup
-    train_ds = _Subset(TinyDTU(root, "train", n_views=3,
-                               depth_interval=2.65), 32)
-    val_ds = _Subset(TinyDTU(root, "val", n_views=3, depth_interval=2.65), 4)
-    mesh = make_mesh(2)
-    train_loader = DataLoader(train_ds, 2, shuffle=True, num_workers=2)
-    val_loader = DataLoader(val_ds, 2, shuffle=False, drop_last=True,
-                            num_workers=2)
-    # 12-epoch cosine keeps the lr high through the 4 epochs we run
-    # (probe run A's schedule, whose trajectory the thresholds bound).
-    cfg = OptimConfig(optimizer="adam", lr=1e-3, lr_scheduler="cosine",
-                      num_epochs=12, weight_decay=0.0)
-    ckpt_dir = str(tmp_path / "ckpts")
-    log_dir = str(tmp_path / "logs")
-    trainer = MVSTrainer(model, cfg, steps_per_epoch=len(train_loader),
-                         mesh=mesh, ckpt_dir=ckpt_dir, log_dir=log_dir)
-    state = trainer.init_state(collate([train_ds[0], train_ds[1]]))
-
-    before = trainer.validate(state, val_loader)
-    state = trainer.fit(state, train_loader, val_loader, num_epochs=4,
-                        progress=False)
-    after = trainer.validate(state, val_loader)
-
+    before, after = quality_fit["before"], quality_fit["after"]
     assert before["val/abs_err"] > 8.0, \
         f"untrained baseline unexpectedly good: {before}"
     assert np.isfinite(after["val/loss"])
@@ -94,15 +38,16 @@ def test_fit_quality_and_artifacts(setup, tmp_path):
     assert after["val/abs_err"] < 4.0, (before, after)
     assert after["val/acc_2mm"] > 0.3, (before, after)
     # artifacts: top-k checkpoints + last.ckpt + tensorboard events
-    files = os.listdir(ckpt_dir)
+    files = os.listdir(quality_fit["ckpt_dir"])
     assert "last.ckpt" in files and any(f.startswith("epoch=") for f in files)
-    assert any(f.startswith("events") for f in os.listdir(log_dir))
+    assert any(f.startswith("events")
+               for f in os.listdir(quality_fit["log_dir"]))
 
 
-def test_data_parallel_matches_single_device(setup):
+def test_data_parallel_matches_single_device(synth_tree):
     """The sharded train step must produce the same update as 1 device."""
-    root, TinyDTU, model = setup
-    ds = _Subset(TinyDTU(root, "train", n_views=3), 8)
+    root, TinyDTU, model = synth_tree
+    ds = Subset(TinyDTU(root, "train", n_views=3), 8)
     batch = collate([ds[i] for i in range(8)])
     cfg = OptimConfig(optimizer="sgd", lr=1e-2, momentum=0.0,
                       weight_decay=0.0)
