@@ -91,7 +91,18 @@ def bench_forward(batch: int = 2, H: int = 512, W: int = 640,
 
 
 def main():
+    import os
     import jax
+    # Persistent compilation cache: the remote TPU compiler in this
+    # environment takes minutes-to-tens-of-minutes for the full cascade,
+    # which is what timed out the round-3 artifact. Executable
+    # serialization works through the axon tunnel (verified: cold 0.95 s /
+    # warm 0.07 s on a probe shape), so a bench run that follows any
+    # earlier run of the same code finishes its compiles in seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_tpu_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     on_tpu = jax.default_backend() == "tpu"
     t0 = time.time()
     best = 0.0
