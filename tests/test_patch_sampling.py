@@ -198,12 +198,11 @@ def test_patch_four_way_split_matches_quad():
 def test_auto_prefers_patch_in_both_contexts():
     # With the transposed-layout epilogue kernel the patch forward beats
     # quad at every level and split factor (scripts/probe_epi5.py), so
-    # "auto" picks patch for train AND inference wherever it is feasible
-    # and the table stays in the gather fast regime.
-    train_cfg = ps._resolve_sampling("auto", 16, 32, 256, 320, 2, train=True)
-    eval_cfg = ps._resolve_sampling("auto", 16, 32, 256, 320, 2, train=False)
-    assert train_cfg["mode"] == "patch" and train_cfg["split"] == 2
-    assert eval_cfg["mode"] == "patch" and eval_cfg["split"] == 2
+    # "auto" picks patch wherever it is feasible and the table stays in
+    # the gather fast regime (the former train-only gate is retired and
+    # _resolve_sampling no longer takes a train flag).
+    cfg = ps._resolve_sampling("auto", 16, 32, 256, 320, 2)
+    assert cfg["mode"] == "patch" and cfg["split"] == 2
     assert ps._resolve_sampling("auto", 8, 8, 512, 640, 2)["mode"] == "patch"
     assert ps._resolve_sampling("auto", 32, 48, 128, 160, 2)["split"] == 4
 
