@@ -69,17 +69,21 @@ def bench_forward(batch: int = 2, H: int = 512, W: int = 640,
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    imgs, proj = make_inputs(batch, H, W, n_views)
-    imgs, proj = jnp.asarray(imgs), jnp.asarray(proj)
+    imgs_np, proj_np = make_inputs(batch, H, W, n_views)
     # One model + one set of variables for the whole sweep: params are
     # batch-independent and re-init would re-compile through the slow
     # remote compiler for every batch size.
     if "model" not in _cache:
         _cache["model"] = CascadeMVSNet(dtype=dtype, num_groups=groups,
                                         remat=False)
-        _cache["vars"] = _cache["model"].init(
-            jax.random.PRNGKey(0), imgs[:1, :, :64, :64], proj[:1],
-            425.0, 2.65)
+        # Init on the host CPU backend, then ship the (small) params once:
+        # eager init on the TPU costs ~300 s of tunnel round trips
+        # (utils/init.py).
+        from casmvsnet_pl_tpu.utils import init_on_cpu
+        _cache["vars"] = init_on_cpu(
+            _cache["model"], jax.random.PRNGKey(0),
+            imgs_np[:1, :, :64, :64], proj_np[:1], 425.0, 2.65)
+    imgs, proj = jnp.asarray(imgs_np), jnp.asarray(proj_np)
     model, variables = _cache["model"], _cache["vars"]
 
     def forward(imgs, proj):

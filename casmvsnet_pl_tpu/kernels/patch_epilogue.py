@@ -46,8 +46,22 @@ def _pick_tile(hw: int) -> int | None:
     return None
 
 
+def _on_tpu() -> bool:
+    """True when computations are placed on TPU right now.
+
+    ``jax.default_backend()`` alone is wrong inside a
+    ``jax.default_device(cpu_device)`` scope (used to keep eager model
+    init off the slow axon tunnel): the process backend stays "tpu" but
+    ops lower for CPU, where Mosaic kernels cannot compile.
+    """
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _use_pallas(hw: int) -> bool:
-    return jax.default_backend() == "tpu" and _pick_tile(hw) is not None
+    return _on_tpu() and _pick_tile(hw) is not None
 
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,8 @@ def build_predictor(args):
     from functools import partial
 
     from casmvsnet_pl_tpu.models import CascadeMVSNet
-    from casmvsnet_pl_tpu.utils import extract_model_params, load_checkpoint
+    from casmvsnet_pl_tpu.utils import (extract_model_params, init_on_cpu,
+                                        load_checkpoint)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -85,10 +86,13 @@ def build_predictor(args):
                           num_groups=args.num_groups, dtype=dtype,
                           sampling=args.sampling)
 
-    W, H = args.img_wh
-    imgs0 = jnp.zeros((1, args.n_views, H, W, 3), jnp.float32)
-    proj0 = jnp.zeros((1, args.n_views - 1, 3, 3, 4), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), imgs0, proj0, 425.0, 2.65)
+    # Params are spatial-shape independent, so init at a small probe shape
+    # on the host CPU (full-res eager init on the TPU costs minutes of
+    # tunnel round trips; see utils/init.py).
+    imgs0 = np.zeros((1, args.n_views, 64, 64, 3), np.float32)
+    proj0 = np.zeros((1, args.n_views - 1, 3, 3, 4), np.float32)
+    variables = init_on_cpu(model, jax.random.PRNGKey(0), imgs0, proj0,
+                            425.0, 2.65)
     if args.ckpt_path:
         ckpt = load_checkpoint(args.ckpt_path)
         params = jax.tree.map(jnp.asarray, extract_model_params(ckpt))

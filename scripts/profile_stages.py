@@ -28,7 +28,13 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from casmvsnet_pl_tpu.utils import init_on_cpu
     from casmvsnet_pl_tpu.utils.devtime import device_time
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_tpu_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     print("backend:", jax.default_backend(), flush=True)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -45,7 +51,8 @@ def main():
     # ---- FeatureNet over B*V images -------------------------------------
     from casmvsnet_pl_tpu.models import FeatureNet
     net = FeatureNet(dtype=dtype)
-    fvar = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), dtype))
+    fvar = init_on_cpu(net, jax.random.PRNGKey(0),
+                       np.zeros((1, 64, 64, 3), np.float32).astype(dtype))
     x = jnp.asarray(rng.rand(B * V, H, W, 3).astype(np.float32)).astype(dtype)
     total += t(f"feature {B*V}x{H}x{W}", lambda v, x: net.apply(v, x), fvar, x)
 
@@ -72,8 +79,9 @@ def main():
     model = CascadeMVSNet(dtype=dtype, num_groups=args.groups, remat=False)
     imgs = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32))
     proj5 = jnp.asarray(np.tile(proj_np[:, :, None], (1, 1, 3, 1, 1)))
-    mvar = model.init(jax.random.PRNGKey(0), imgs[:, :, :64, :64], proj5,
-                      425.0, 2.65)
+    mvar = init_on_cpu(model, jax.random.PRNGKey(0),
+                       np.asarray(imgs[:, :, :64, :64]), np.asarray(proj5),
+                       425.0, 2.65)
 
     # costreg per level using the real (folded) path the cascade uses
     from casmvsnet_pl_tpu.models import cost_reg as crmod
@@ -83,8 +91,9 @@ def main():
         Cin = args.groups if args.groups > 1 else C
         netc = crmod.CostRegNetFolded(dtype=dtype) \
             if hasattr(crmod, "CostRegNetFolded") else crmod.CostRegNet(dtype=dtype)
-        cvar = netc.init(jax.random.PRNGKey(0),
-                         jnp.zeros((1, 8, 16, 16, Cin), dtype))
+        cvar = init_on_cpu(netc, jax.random.PRNGKey(0),
+                           np.zeros((1, 8, 16, 16, Cin), np.float32)
+                           .astype(dtype))
         vol = jnp.asarray(rng.rand(B, D, h, w, Cin).astype(np.float32)).astype(dtype)
         total += t(f"costreg L{l} D{D} {h}x{w} C{Cin}",
                    lambda v, x: netc.apply(v, x), cvar, vol)
