@@ -38,18 +38,23 @@ def test_folded_costreg_interchangeable():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(2, 8, 16, 24, 8).astype(np.float32))
     ref_net, fold_net = CostRegNet(), CostRegNetFolded()
-    var = ref_net.init(jax.random.PRNGKey(0), x)
+    var = jax.jit(ref_net.init)(jax.random.PRNGKey(0), x)
     # identical param trees (checkpoint interchangeability)
-    v2 = fold_net.init(jax.random.PRNGKey(1), x)
+    v2 = jax.jit(fold_net.init)(jax.random.PRNGKey(1), x)
     assert (jax.tree.map(lambda a: a.shape, var["params"])
             == jax.tree.map(lambda a: a.shape, v2["params"]))
     # eval-mode outputs
-    np.testing.assert_allclose(np.asarray(ref_net.apply(var, x, False)),
-                               np.asarray(fold_net.apply(var, x, False)),
-                               atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(ref_net.apply, static_argnums=2)(var, x, False)),
+        np.asarray(jax.jit(fold_net.apply, static_argnums=2)(var, x, False)),
+        atol=1e-4)
     # train-mode outputs AND batch-stat updates
-    ref_y, ref_mut = ref_net.apply(var, x, True, mutable=["batch_stats"])
-    fold_y, fold_mut = fold_net.apply(var, x, True, mutable=["batch_stats"])
+    ref_y, ref_mut = jax.jit(
+        ref_net.apply, static_argnums=2,
+        static_argnames="mutable")(var, x, True, mutable=("batch_stats",))
+    fold_y, fold_mut = jax.jit(
+        fold_net.apply, static_argnums=2,
+        static_argnames="mutable")(var, x, True, mutable=("batch_stats",))
     np.testing.assert_allclose(np.asarray(ref_y), np.asarray(fold_y),
                                atol=1e-4)
     for a, b in zip(jax.tree.leaves(ref_mut["batch_stats"]),
@@ -61,7 +66,7 @@ def test_folded_costreg_gradients_match():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(1, 8, 8, 16, 8).astype(np.float32))
     ref_net, fold_net = CostRegNet(), CostRegNetFolded()
-    var = ref_net.init(jax.random.PRNGKey(0), x)
+    var = jax.jit(ref_net.init)(jax.random.PRNGKey(0), x)
 
     def loss(net, params):
         y, _ = net.apply({"params": params,
@@ -69,8 +74,8 @@ def test_folded_costreg_gradients_match():
                          x, True, mutable=["batch_stats"])
         return jnp.sum(y ** 2)
 
-    g_ref = jax.grad(lambda p: loss(ref_net, p))(var["params"])
-    g_fold = jax.grad(lambda p: loss(fold_net, p))(var["params"])
+    g_ref = jax.jit(jax.grad(lambda p: loss(ref_net, p)))(var["params"])
+    g_fold = jax.jit(jax.grad(lambda p: loss(fold_net, p)))(var["params"])
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fold)):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)

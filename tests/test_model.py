@@ -13,11 +13,16 @@ def _param_count(params):
     return sum(np.prod(p.shape) for p in jax.tree.leaves(params))
 
 
+# Eager execution on XLA:CPU is dispatch-bound (~2k tiny ops for the full
+# cascade, tens of seconds); every full-model call in this tier is jitted
+# so it costs one opt-level-0 compile instead.
+
+
 def test_feature_net_shapes_and_channels():
     m = FeatureNet()
     x = jnp.zeros((2, 64, 64, 3))
-    var = m.init(jax.random.PRNGKey(0), x)
-    out = m.apply(var, x)
+    var = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(m.apply)(var, x)
     assert out["level_0"].shape == (2, 64, 64, 8)
     assert out["level_1"].shape == (2, 32, 32, 16)
     assert out["level_2"].shape == (2, 16, 16, 32)
@@ -26,8 +31,8 @@ def test_feature_net_shapes_and_channels():
 def test_cost_reg_shapes():
     m = CostRegNet()
     x = jnp.zeros((1, 16, 8, 8, 32))
-    var = m.init(jax.random.PRNGKey(0), x)
-    out = m.apply(var, x)
+    var = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(m.apply)(var, x)
     assert out.shape == (1, 16, 8, 8)
 
 
@@ -72,13 +77,15 @@ def tiny_cascade():
                    (B, V - 1, 3, 1, 1))
     proj[..., 0, 3] = rng.randn(B, V - 1, 3) * 5
     proj_mats = jnp.asarray(proj)
-    var = model.init(jax.random.PRNGKey(0), imgs, proj_mats, 425.0, 2.65)
-    return model, var, imgs, proj_mats
+    var = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, proj_mats,
+                              425.0, 2.65)
+    japply = jax.jit(model.apply)
+    return model, var, imgs, proj_mats, japply
 
 
 def test_cascade_output_shapes(tiny_cascade):
-    model, var, imgs, proj_mats = tiny_cascade
-    out = model.apply(var, imgs, proj_mats, 425.0, 2.65)
+    model, var, imgs, proj_mats, japply = tiny_cascade
+    out = japply(var, imgs, proj_mats, 425.0, 2.65)
     assert out["depth_0"].shape == (1, 32, 32)
     assert out["depth_1"].shape == (1, 16, 16)
     assert out["depth_2"].shape == (1, 8, 8)
@@ -92,21 +99,22 @@ def test_cascade_output_shapes(tiny_cascade):
 
 
 def test_cascade_scalar_vs_batched_depth_args(tiny_cascade):
-    model, var, imgs, proj_mats = tiny_cascade
-    out_s = model.apply(var, imgs, proj_mats, 425.0, 2.65)
-    out_b = model.apply(var, imgs, proj_mats, jnp.asarray([425.0]),
-                        jnp.asarray([2.65]))
+    model, var, imgs, proj_mats, japply = tiny_cascade
+    out_s = japply(var, imgs, proj_mats, 425.0, 2.65)
+    out_b = japply(var, imgs, proj_mats, jnp.asarray([425.0]),
+                   jnp.asarray([2.65]))
     for k in out_s:
         assert np.allclose(np.asarray(out_s[k]), np.asarray(out_b[k]),
                            atol=1e-5)
 
 
 def test_cascade_groupwise(tiny_cascade):
-    _, _, imgs, proj_mats = tiny_cascade
+    _, _, imgs, proj_mats, _ = tiny_cascade
     model = CascadeMVSNet(n_depths=(8, 8, 16), interval_ratios=(1., 2., 4.),
                           num_groups=4)
-    var = model.init(jax.random.PRNGKey(0), imgs, proj_mats, 425.0, 2.65)
-    out = model.apply(var, imgs, proj_mats, 425.0, 2.65)
+    var = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, proj_mats,
+                              425.0, 2.65)
+    out = jax.jit(model.apply)(var, imgs, proj_mats, 425.0, 2.65)
     assert out["depth_0"].shape == (1, 32, 32)
     # groupwise cost-reg input channels = G
     k = var["params"]["cost_reg_0"]["conv0"]["conv"]["kernel"]
@@ -120,13 +128,13 @@ def test_param_count_close_to_reference():
     model = CascadeMVSNet()
     imgs = jnp.zeros((1, 2, 32, 32, 3))
     proj = jnp.zeros((1, 1, 3, 3, 4))
-    var = model.init(jax.random.PRNGKey(0), imgs, proj, 425.0, 2.65)
+    var = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, proj, 425.0, 2.65)
     n = _param_count(var["params"])
     assert 9.0e5 < n < 9.7e5, f"param count {n}"
 
 
 def test_gradients_flow_and_are_finite(tiny_cascade):
-    model, var, imgs, proj_mats = tiny_cascade
+    model, var, imgs, proj_mats, _ = tiny_cascade
 
     def loss_fn(params):
         out, _ = model.apply({"params": params,
@@ -135,7 +143,7 @@ def test_gradients_flow_and_are_finite(tiny_cascade):
                              mutable=["batch_stats"])
         return sum(jnp.mean(out[f"depth_{l}"]) for l in range(3))
 
-    grads = jax.grad(loss_fn)(var["params"])
+    grads = jax.jit(jax.grad(loss_fn))(var["params"])
     leaves = jax.tree.leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     # feature net must receive gradient through the warp

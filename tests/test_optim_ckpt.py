@@ -123,55 +123,43 @@ def test_topk_manager(tmp_path):
 
 
 @pytest.mark.slow  # full trainer compile: minutes of CPU XLA time
-def test_full_training_resume_roundtrip(tmp_path):
+def test_full_training_resume_roundtrip(quality_fit):
     """restore_state must reproduce params, batch stats, optimizer state and
     step exactly, and continue producing identical updates. Checkpoint
     serialization itself is covered by the fast tests above; this pins the
-    trainer-level wiring (donation, mesh shardings, step counter)."""
+    trainer-level wiring (donation, mesh shardings, step counter).
+
+    Reuses the session fit's trainer, end state and on-disk last.ckpt
+    (conftest.quality_fit), so the restore path is exercised against a
+    real 32-update optimizer state with no new full-cascade compile.
+    """
+    import os
+
     from casmvsnet_pl_tpu.data.loader import collate
-    from casmvsnet_pl_tpu.data.synthetic import PlaneScene
-    from casmvsnet_pl_tpu.engine import MVSTrainer
-    from casmvsnet_pl_tpu.models import CascadeMVSNet
-    from casmvsnet_pl_tpu.parallel import make_mesh
 
-    scene = PlaneScene(img_wh=(32, 32), n_views=3, z0=460.0, slope_x=0.2)
-    imgs, proj, depths = scene.model_inputs()
-    sample = {
-        "imgs": imgs[0], "proj_mats": proj[0],
-        "init_depth_min": np.float32(425.0),
-        "depth_interval": np.float32(2.65),
-        "depths": {k: v[0] for k, v in depths.items()},
-        "masks": {k: np.ones(v[0].shape, bool) for k, v in depths.items()},
-    }
-    batch = collate([sample, sample])
-    # sampling="quad" keeps the compile lean: resume logic is orthogonal to
-    # the sampling strategy (sampler parity has its own oracle suite).
-    model = CascadeMVSNet(n_depths=(8, 8, 8), interval_ratios=(1., 2., 4.),
-                          sampling="quad")
-    cfg = OptimConfig(optimizer="adam", lr=1e-3, lr_scheduler="cosine",
-                      num_epochs=2)
-    trainer = MVSTrainer(model, cfg, steps_per_epoch=4, mesh=make_mesh(2))
-
-    state = trainer.init_state(batch)
-    dev = trainer._device_batch(batch)
-    state, _ = trainer.train_step(state, dev)
-    state, _ = trainer.train_step(state, dev)
-
-    path = str(tmp_path / "full.ckpt")
-    save_checkpoint(path, {"params": trainer.model_params(state),
-                           "batch_stats": state.batch_stats,
-                           "opt_state": state.opt_state,
-                           "step": np.asarray(int(jax.device_get(state.step)))})
+    trainer = quality_fit["trainer"]
+    ds = quality_fit["train_ds"]
+    batch = collate([ds[0], ds[1]])
+    state = quality_fit["state"]
+    path = os.path.join(quality_fit["ckpt_dir"], "last.ckpt")
     restored = trainer.restore_state(path, batch)
 
-    assert int(jax.device_get(restored.step)) == 2
+    assert (int(jax.device_get(restored.step))
+            == int(jax.device_get(state.step)) > 0)
     for a, b in zip(jax.tree.leaves(jax.device_get(state)),
                     jax.tree.leaves(jax.device_get(restored))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
-    # continuing must produce identical updates (donate: rebuild dev batch)
-    next_a, logs_a = trainer.train_step(state, trainer._device_batch(batch))
-    next_b, logs_b = trainer.train_step(restored, trainer._device_batch(batch))
+    # continuing must produce identical updates; train_step donates its
+    # input, so step on fresh copies to keep the session state alive for
+    # other tests
+    def fresh(s):
+        return jax.tree.map(jnp.array, s)
+
+    next_a, logs_a = trainer.train_step(fresh(state),
+                                        trainer._device_batch(batch))
+    next_b, logs_b = trainer.train_step(fresh(restored),
+                                        trainer._device_batch(batch))
     np.testing.assert_allclose(float(jax.device_get(logs_a["train/loss"])),
                                float(jax.device_get(logs_b["train/loss"])),
                                rtol=0, atol=0)

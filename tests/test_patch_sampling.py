@@ -19,6 +19,9 @@ from casmvsnet_pl_tpu.ops.plane_sweep import build_cost_volume, patch_config
 pytestmark = pytest.mark.slow  # full-model tier: minutes of CPU compile
 
 
+from conftest import bcv as _bcv, bcv_grad as _bcv_grad
+
+
 def _scene(rng, B=2, V=3, H=32, W=40, C=8, D=8, tx=40.0, ty=12.0,
            dmin=430.0, dint=2.65):
     feats = jnp.asarray(rng.rand(B, V, H, W, C).astype(np.float32))
@@ -48,47 +51,45 @@ def test_variance_patch_matches_quad():
     # translation-only geometry: per-depth shift tx*(1/d_i - 1/d_j) is
     # sub-pixel across the whole window -> the g=8 patch branch engages
     feats, proj, dv = _scene(np.random.RandomState(0))
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    p = _bcv(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
 def test_groupwise_patch_matches_quad():
     feats, proj, dv = _scene(np.random.RandomState(1))
-    q = build_cost_volume(feats, proj, dv, groups=4, remat=False,
-                          sampling="quad")
-    p = build_cost_volume(feats, proj, dv, groups=4, remat=False,
-                          sampling="patch")
+    q = _bcv(feats, proj, dv, groups=4, sampling="quad")
+    p = _bcv(feats, proj, dv, groups=4, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
 def test_patch_multi_group_depths():
     feats, proj, dv = _scene(np.random.RandomState(2), D=16)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    p = _bcv(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
 def test_patch_out_of_image_zeros_padding():
     feats, proj, dv = _scene(np.random.RandomState(3), tx=9000.0, ty=-4000.0)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    p = _bcv(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
 def test_patch_border_straddling_coords():
     # moderate shift: many supports straddle the image border (partial taps)
     feats, proj, dv = _scene(np.random.RandomState(9), tx=-12000.0, ty=300.0)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    p = _bcv(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
 def test_patch_negative_depth_masked():
     feats, proj, dv = _scene(np.random.RandomState(4))
     dv = dv - 500.0                                # some planes behind camera
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    p = _bcv(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
@@ -98,8 +99,8 @@ def test_patch_span_violation_still_exact():
     # the result must remain EXACT — the defining contrast with window mode.
     feats, proj, dv = _scene(np.random.RandomState(6), tx=900.0, ty=0.0,
                              dmin=30.0, dint=8.0)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    p = _bcv(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
@@ -109,33 +110,24 @@ def test_patch_intermediate_span_uses_smaller_group():
     # way the contract is exactness; this pins the mid-tier geometry.
     feats, proj, dv = _scene(np.random.RandomState(7), tx=900.0, ty=0.0,
                              dmin=420.0, dint=4.0)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    p = _bcv(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
 def test_patch_gradients_match_quad():
     feats, proj, dv = _scene(np.random.RandomState(5), B=1, H=16, W=24)
 
-    def loss(f, sampling):
-        return jnp.sum(build_cost_volume(f, proj, dv, remat=False,
-                                         sampling=sampling) ** 2)
-
-    gq = jax.grad(lambda f: loss(f, "quad"))(feats)
-    gp = jax.grad(lambda f: loss(f, "patch"))(feats)
+    gq = _bcv_grad(feats, proj, dv, sampling="quad")
+    gp = _bcv_grad(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(gq), np.asarray(gp), atol=2e-6)
 
 
 def test_patch_gradients_on_fallback_geometry():
     feats, proj, dv = _scene(np.random.RandomState(8), B=1, H=16, W=24,
                              tx=900.0, dmin=30.0, dint=8.0)
-
-    def loss(f, sampling):
-        return jnp.sum(build_cost_volume(f, proj, dv, remat=False,
-                                         sampling=sampling) ** 2)
-
-    gq = jax.grad(lambda f: loss(f, "quad"))(feats)
-    gp = jax.grad(lambda f: loss(f, "patch"))(feats)
+    gq = _bcv_grad(feats, proj, dv, sampling="quad")
+    gp = _bcv_grad(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(gq), np.asarray(gp), atol=2e-6)
 
 
@@ -159,21 +151,16 @@ def test_patch_banded_backward_matches_quad(monkeypatch):
 def test_patch_split_channel_matches_quad():
     # C=16 (cascade level 1): two 128-lane half-tables, one shared hat build
     feats, proj, dv = _scene(np.random.RandomState(10), C=16, D=16)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    p = _bcv(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
 def test_patch_split_channel_gradients():
     feats, proj, dv = _scene(np.random.RandomState(14), B=1, H=16, W=24,
                              C=16)
-
-    def loss(f, sampling):
-        return jnp.sum(build_cost_volume(f, proj, dv, remat=False,
-                                         sampling=sampling) ** 2)
-
-    gq = jax.grad(lambda f: loss(f, "quad"))(feats)
-    gp = jax.grad(lambda f: loss(f, "patch"))(feats)
+    gq = _bcv_grad(feats, proj, dv, sampling="quad")
+    gp = _bcv_grad(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(gq), np.asarray(gp), atol=2e-6)
 
 
@@ -181,8 +168,8 @@ def test_patch_split_channel_fallback_geometry():
     # wild geometry: split-channel quad fallback must also be exact
     feats, proj, dv = _scene(np.random.RandomState(15), C=16, tx=900.0,
                              dmin=30.0, dint=8.0)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    p = _bcv(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 
@@ -190,8 +177,8 @@ def test_patch_four_way_split_matches_quad():
     # C=32 (cascade level 2) runs as a 4-way channel split of 128-lane
     # patch sub-tables; must agree with the exact quad path.
     feats, proj, dv = _scene(np.random.RandomState(10), C=32)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    p = build_cost_volume(feats, proj, dv, remat=False, sampling="patch")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    p = _bcv(feats, proj, dv, sampling="patch")
     np.testing.assert_allclose(np.asarray(q), np.asarray(p), atol=2e-6)
 
 

@@ -106,8 +106,8 @@ def test_full_model_parity_with_reference(ref_model_cls, num_groups):
     imgs, proj = _scene()
     variables = {"params": params, "batch_stats": stats}
     # structure must match a fresh init exactly (catches mapping drift)
-    init_vars = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs),
-                           jnp.asarray(proj), 425.0, 2.65)
+    init_vars = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                                    jnp.asarray(proj), 425.0, 2.65)
     assert (jax.tree.structure(init_vars["params"])
             == jax.tree.structure(jax.tree.map(jnp.asarray, params)))
     for (path, init_leaf), conv_leaf in zip(
@@ -118,8 +118,9 @@ def test_full_model_parity_with_reference(ref_model_cls, num_groups):
             f"{init_leaf.shape} vs {np.shape(conv_leaf)}")
 
     with jax.default_matmul_precision("float32"):
-        ours = model.apply(jax.tree.map(jnp.asarray, variables),
-                           jnp.asarray(imgs), jnp.asarray(proj), 425.0, 2.65)
+        ours = jax.jit(model.apply)(jax.tree.map(jnp.asarray, variables),
+                                    jnp.asarray(imgs), jnp.asarray(proj),
+                                    425.0, 2.65)
 
     t_imgs = torch.from_numpy(imgs).permute(0, 1, 4, 2, 3).contiguous()
     with torch.no_grad():

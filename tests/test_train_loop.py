@@ -45,7 +45,15 @@ def test_fit_quality_and_artifacts(quality_fit):
 
 
 def test_data_parallel_matches_single_device(synth_tree):
-    """The sharded train step must produce the same update as 1 device."""
+    """The sharded train step must produce the same update as 1 device.
+
+    SGD on purpose: with plain SGD the param delta IS the (lr-scaled)
+    gradient, so psum-vs-serial accumulation noise stays ~1e-3 relative
+    and a missing/wrong all-reduce shows as O(1). (Adam at step 1
+    normalizes every element to ~lr, amplifying noise-level gradient
+    differences to the same magnitude as real sharding bugs — measured
+    when this test briefly shared the session fit's Adam trainer.)
+    """
     root, TinyDTU, model = synth_tree
     ds = Subset(TinyDTU(root, "train", n_views=3), 8)
     batch = collate([ds[i] for i in range(8)])

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from conftest import bcv as _bcv, bcv_grad as _bcv_grad
 from casmvsnet_pl_tpu.ops.plane_sweep import build_cost_volume, window_config
 
 pytestmark = pytest.mark.slow  # full-model tier: minutes of CPU compile
@@ -40,52 +41,46 @@ def test_window_config_feasibility():
 
 def test_variance_window_matches_quad():
     feats, proj, dv = _scene(np.random.RandomState(0))
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    w = build_cost_volume(feats, proj, dv, remat=False, sampling="window")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    w = _bcv(feats, proj, dv, sampling="window")
     np.testing.assert_allclose(np.asarray(q), np.asarray(w), atol=2e-6)
 
 
 def test_groupwise_window_matches_quad():
     feats, proj, dv = _scene(np.random.RandomState(1))
-    q = build_cost_volume(feats, proj, dv, groups=4, remat=False,
-                          sampling="quad")
-    w = build_cost_volume(feats, proj, dv, groups=4, remat=False,
-                          sampling="window")
+    q = _bcv(feats, proj, dv, groups=4, sampling="quad")
+    w = _bcv(feats, proj, dv, groups=4, sampling="window")
     np.testing.assert_allclose(np.asarray(q), np.asarray(w), atol=2e-6)
 
 
 def test_window_multi_group_depths():
     # D=16 -> two depth groups of 8 sharing separate windows
     feats, proj, dv = _scene(np.random.RandomState(2), D=16)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    w = build_cost_volume(feats, proj, dv, remat=False, sampling="window")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    w = _bcv(feats, proj, dv, sampling="window")
     np.testing.assert_allclose(np.asarray(q), np.asarray(w), atol=2e-6)
 
 
 def test_window_out_of_image_zeros_padding():
     feats, proj, dv = _scene(np.random.RandomState(3), tx=9000.0, ty=-4000.0)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    w = build_cost_volume(feats, proj, dv, remat=False, sampling="window")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    w = _bcv(feats, proj, dv, sampling="window")
     np.testing.assert_allclose(np.asarray(q), np.asarray(w), atol=2e-6)
 
 
 def test_window_negative_depth_masked():
     feats, proj, dv = _scene(np.random.RandomState(4))
     dv = dv - 500.0                                # some planes behind camera
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    w = build_cost_volume(feats, proj, dv, remat=False, sampling="window")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    w = _bcv(feats, proj, dv, sampling="window")
     np.testing.assert_allclose(np.asarray(q), np.asarray(w), atol=2e-6)
 
 
 def test_window_gradients_match_quad():
     feats, proj, dv = _scene(np.random.RandomState(5), B=1, H=16, W=24)
 
-    def loss(f, sampling):
-        return jnp.sum(build_cost_volume(f, proj, dv, remat=False,
-                                         sampling=sampling) ** 2)
-
-    gq = jax.grad(lambda f: loss(f, "quad"))(feats)
-    gw = jax.grad(lambda f: loss(f, "window"))(feats)
+    gq = _bcv_grad(feats, proj, dv, sampling="quad")
+    gw = _bcv_grad(feats, proj, dv, sampling="window")
     np.testing.assert_allclose(np.asarray(gq), np.asarray(gw), atol=2e-6)
 
 
@@ -95,8 +90,8 @@ def test_window_span_violation_bounded():
     # only locally (clamped to the window edge), never explode.
     feats, proj, dv = _scene(np.random.RandomState(6), tx=900.0, ty=0.0,
                              dmin=30.0, dint=8.0)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    w = build_cost_volume(feats, proj, dv, remat=False, sampling="window")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    w = _bcv(feats, proj, dv, sampling="window")
     assert bool(jnp.all(jnp.isfinite(w)))
     d = np.abs(np.asarray(q) - np.asarray(w))
     assert d.max() < 1.0                  # bounded by feature magnitude
@@ -107,8 +102,8 @@ def test_window_infeasible_falls_back_to_quad():
     # C=16 exceeds the 128-lane strip budget: "window" silently uses quad
     # so the mode can be requested model-wide (e.g. for training).
     feats, proj, dv = _scene(np.random.RandomState(7), C=16)
-    q = build_cost_volume(feats, proj, dv, remat=False, sampling="quad")
-    w = build_cost_volume(feats, proj, dv, remat=False, sampling="window")
+    q = _bcv(feats, proj, dv, sampling="quad")
+    w = _bcv(feats, proj, dv, sampling="window")
     np.testing.assert_allclose(np.asarray(q), np.asarray(w), atol=0)
     with pytest.raises(ValueError):
         build_cost_volume(feats, proj, dv, remat=False, sampling="bogus")
