@@ -288,7 +288,11 @@ def patch_config(C: int, D: int):
     split = -(-(ph * pw * C) // 128)
     if split > 4 or (C % split):
         return None
-    groups = tuple(g for g in (8, 4) if D % g == 0 and g <= D)
+    # g=16 candidate: the gather engine charges per ROW, so when sixteen
+    # consecutive hypotheses' supports fit one patch (epipolar-tight fine
+    # levels, e.g. DTU-rig L1: ~0.18 px/step -> span 2.7 <= 3) the rows
+    # halve again vs g=8. Runtime span check falls through when unfit.
+    groups = tuple(g for g in (16, 8, 4) if D % g == 0 and g <= D)
     if not groups:
         return None
     return {"ph": ph, "pw": pw, "groups": groups, "split": split}
@@ -296,10 +300,11 @@ def patch_config(C: int, D: int):
 
 def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
                 height: int, width: int, ph: int, pw: int,
-                groups, fb_align: int = 0) -> Array:
+                groups, split: int = 1, fb_align: int = 0) -> Array:
     """Warp one source view via patch-shared gathers: exact for any geometry.
 
-    table: (B, H+2, W+2, ph*pw*C) from pack_patches. One gathered patch row
+    table: (B, H+2, W+2, split*128) — the per-split pack_patches tables
+    fused along the lane axis (_pack_tables). One gathered patch row
     serves a whole group of g consecutive depth hypotheses; each sample is
     extracted with hat weights on constant lane iotas + one stacked-identity
     MXU matmul (the validfold epilogue, scripts/probe_patch2.py). A nested
@@ -317,7 +322,9 @@ def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
 
     Returns (B, D, H*W, C) float32 sampled features.
     """
-    B, S, Ht, Wt, L = table.shape
+    B, Ht, Wt, SL = table.shape
+    S = split
+    L = SL // S
     D = depth_values.shape[1]
     hw = height * width
 
@@ -434,10 +441,14 @@ def _patch_sample(static, table: Array, ops) -> Array:
         # Pallas kernel (kernels/patch_epilogue.py) — 1.8 vs 9.5 ms per L0
         # view for the lane-layout hat expansion (scripts/probe_epi5.py).
         fx, fy = _patch_frac(x, y, valid, x_org, y_org, ph, pw)
+        # ONE fused gather fetches all S splits' lanes per row (the gather
+        # engine charges per row ~independent of width to 1 KB), then each
+        # split's 128-lane block feeds the epilogue kernel.
+        rows = _patch_gather(table, idx)                     # (B, ng*hw, S*L)
+        rows = rows.reshape(B, ng, hw, S, L)
         outs = []
         for s in range(S):
-            rows = _patch_gather(table[:, s], idx)           # (B, ng*hw, L)
-            rowsT = jnp.swapaxes(rows.reshape(B, ng, hw, L), -1, -2)
+            rowsT = jnp.swapaxes(rows[:, :, :, s], -1, -2)
             outs.append(epilogue_fwd(rowsT, fx, fy, ph, pw))
         o = outs[0] if S == 1 else jnp.concatenate(outs, axis=3)
         # (B, ng, g, C, hw) -> (B, D, hw, C); the transpose fuses into the
@@ -446,8 +457,8 @@ def _patch_sample(static, table: Array, ops) -> Array:
 
     def quad_fwd():
         feat = jnp.concatenate(
-            [table[:, s, 1:height + 1, 1:width + 1, :Ch] for s in range(S)],
-            axis=-1)
+            [table[:, 1:height + 1, 1:width + 1, s * L:s * L + Ch]
+             for s in range(S)], axis=-1)
         quad = jax.vmap(pack_quad)(feat)
         xy = jnp.stack([ops["x"], ops["y"]], axis=-1)        # (B, D, hw, 2)
         w4, y0i, x0i = quad_weights(xy, height, width)
@@ -462,8 +473,8 @@ def _patch_sample(static, table: Array, ops) -> Array:
         # resolution (_resolve_sampling). Features are recovered from the
         # patch table's (0,0)-tap lanes, same as quad_fwd.
         feat = jnp.concatenate(
-            [table[:, s, 1:height + 1, 1:width + 1, :Ch] for s in range(S)],
-            axis=-1)
+            [table[:, 1:height + 1, 1:width + 1, s * L:s * L + Ch]
+             for s in range(S)], axis=-1)
         btab = jax.vmap(lambda f: pack_blocks(f, fb_align))(feat)
         x = ops["x"].reshape(B, -1)
         y = ops["y"].reshape(B, -1)
@@ -523,21 +534,22 @@ def _patch_sample_bwd(static, ops, g_out):
         idx = (yi * Wt + xi).reshape(B, -1)
         valid_g = jnp.any(valid, axis=2).reshape(B, -1)
         bcfg = banded_cfg(Ht, Wt, ng, height, width)
-        grads = []
+        # Cotangent rows fused across splits (like the forward gather): one
+        # (S*L)-lane scatter row per patch row — S-fold fewer scatter
+        # descriptors than per-split scatters of the same bytes.
+        upds = []
         for s in range(S):
             d_rowsT = epilogue_bwd(goT[:, :, :, s * Ch:(s + 1) * Ch], fx, fy,
                                    ph, pw)                   # (B, ng, L, hw)
-            upd = jnp.swapaxes(d_rowsT, -1, -2).reshape(B, -1, L)
-            if bcfg is not None:
-                grads.append(banded_scatter_add(
-                    (ng, height, width) + bcfg, Ht, Wt, idx, valid_g, upd))
-            else:
-                fidx = idx + (jnp.arange(B, dtype=jnp.int32)
-                              * (Ht * Wt))[:, None]
-                grads.append(jnp.zeros((B * Ht * Wt, L), jnp.float32)
-                             .at[fidx.reshape(-1)].add(upd.reshape(-1, L))
-                             .reshape(B, Ht, Wt, L))
-        return jnp.stack(grads, axis=1)                      # (B, S, Ht, Wt, L)
+            upds.append(jnp.swapaxes(d_rowsT, -1, -2).reshape(B, -1, L))
+        upd = upds[0] if S == 1 else jnp.concatenate(upds, axis=-1)
+        if bcfg is not None:
+            return banded_scatter_add(
+                (ng, height, width) + bcfg, Ht, Wt, idx, valid_g, upd)
+        fidx = idx + (jnp.arange(B, dtype=jnp.int32) * (Ht * Wt))[:, None]
+        return (jnp.zeros((B * Ht * Wt, S * L), jnp.float32)
+                .at[fidx.reshape(-1)].add(upd.reshape(-1, S * L))
+                .reshape(B, Ht, Wt, S * L))
 
     def quad_bwd():
         # adjoint of the packed-quad fallback: scatter 4C-lane cotangent
@@ -574,10 +586,10 @@ def _patch_sample_bwd(static, ops, g_out):
                   + d_quad[:, 1:H + 1, 0:W, C:2 * C]
                   + d_quad[:, 0:H, 1:W + 1, 2 * C:3 * C]
                   + d_quad[:, 0:H, 0:W, 3 * C:4 * C])
-        return jnp.stack([
+        return jnp.concatenate([
             jnp.pad(d_feat[..., s * Ch:(s + 1) * Ch],
                     ((0, 0), (1, Ht - H - 1), (1, Wt - W - 1), (0, L - Ch)))
-            for s in range(S)], axis=1)                      # (B, S, ...)
+            for s in range(S)], axis=-1)                 # (B, Ht, Wt, S*L)
 
     d_table = _patch_nested_cond(groups, ops["per_g"], patch_bwd, quad_bwd)
     zero0 = np.zeros((), dtype=jax.dtypes.float0)
@@ -705,12 +717,19 @@ def _pack_tables(srcs: Array, cfg):
         s = cfg["split"]
 
         def pk(f):
+            # Splits FUSED along the lane axis: one (S*128)-lane gather row
+            # fetches every split's taps. The gather engine charges per ROW
+            # nearly independent of width up to ~1 KB (measured 2026-08-20:
+            # 3.7 / 4.8 / 4.9 ns/row at 256 B / 512 B / 1 KB rows), so this
+            # halves (S=2) / quarters (S=4) the descriptor count vs
+            # per-split gathers of the same bytes.
             cs = f.shape[-1] // s
-            return jnp.stack([
+            return jnp.concatenate([
                 pack_patches(f[..., i * cs:(i + 1) * cs],
-                             cfg["ph"], cfg["pw"]) for i in range(s)])
+                             cfg["ph"], cfg["pw"]) for i in range(s)],
+                axis=-1)
 
-        return jax.vmap(jax.vmap(pk))(srcs)      # (B, V-1, S, Ht, Wt, Lh)
+        return jax.vmap(jax.vmap(pk))(srcs)      # (B, V-1, Ht, Wt, S*Lh)
     return jax.vmap(jax.vmap(
         lambda f: pack_strips(f, cfg["strip_w"], cfg["window_h"])))(srcs)
 
@@ -889,7 +908,7 @@ def _sample_view(tables_v: Array, proj_mat_v: Array, depth_values: Array,
     if cfg["mode"] == "patch":
         return _patch_view(tables_v, proj_mat_v, depth_values, height,
                            width, cfg["ph"], cfg["pw"], cfg["groups"],
-                           cfg.get("fb_align", 0))
+                           cfg["split"], cfg.get("fb_align", 0))
     return _window_view(tables_v, proj_mat_v, depth_values, height, width,
                         cfg["strip_w"], cfg["window_h"], cfg["depth_group"])
 

@@ -17,6 +17,10 @@ from casmvsnet_pl_tpu.data.synthetic import PlaneScene
 from casmvsnet_pl_tpu.models import CascadeMVSNet
 from casmvsnet_pl_tpu.utils.devtime import device_time
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 print("backend:", jax.default_backend(), flush=True)
 W, H, V = 1152, 864, 5
 dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -29,9 +33,11 @@ imgs, proj = jnp.asarray(imgs), jnp.asarray(proj)
 import os
 _order = os.environ.get("ER_ORDER", "auto,quad").split(",")
 for sampling in _order:
+    from casmvsnet_pl_tpu.utils import init_on_cpu
     model = CascadeMVSNet(dtype=dtype, remat=False, sampling=sampling)
-    variables = model.init(jax.random.PRNGKey(0), imgs[:, :, :64, :64], proj,
-                           425.0, 2.65)
+    variables = init_on_cpu(model, jax.random.PRNGKey(0),
+                            np.asarray(imgs[:, :, :64, :64]),
+                            np.asarray(proj), 425.0, 2.65)
 
     def forward(imgs, proj, model=model, variables=variables):
         out = model.apply(variables, imgs, proj, 425.0, 2.65)

@@ -38,7 +38,7 @@ def _scene(rng, B=2, V=3, H=32, W=40, C=8, D=8, tx=40.0, ty=12.0,
 def test_patch_config_feasibility():
     assert patch_config(8, 8) == {"ph": 4, "pw": 4, "groups": (8, 4),
                                   "split": 1}
-    assert patch_config(8, 32) == {"ph": 4, "pw": 4, "groups": (8, 4),
+    assert patch_config(8, 32) == {"ph": 4, "pw": 4, "groups": (16, 8, 4),
                                    "split": 1}
     assert patch_config(8, 12)["groups"] == (4,)   # 12 % 8 != 0
     assert patch_config(16, 32)["split"] == 2      # two 128-lane half-tables
