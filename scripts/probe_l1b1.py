@@ -32,6 +32,8 @@ def main():
 
     B, V = 1, 3
     H, W = 512, 640
+    if os.environ.get("EVALRES"):
+        H, W = 864, 1152
     cfgs = {"l0": (0, 8, H, W, 8), "l1": (1, 32, H // 2, W // 2, 16),
             "l2": (2, 48, H // 4, W // 4, 32)}
     l, D, h, w, C = cfgs[level]
@@ -141,6 +143,8 @@ def fine():
     from casmvsnet_pl_tpu.kernels.patch_epilogue import epilogue_fwd
 
     B, H, W = 1, 512, 640
+    if os.environ.get("EVALRES"):
+        H, W = 864, 1152
     cfgs = {"l0": (8, H, W, 8), "l1": (32, H // 2, W // 2, 16),
             "l2": (48, H // 4, W // 4, 32)}
     D, h, w, C = cfgs[level]

@@ -249,7 +249,7 @@ def test_cascade_patch_sampling_runs():
                    (B, V - 1, 3, 1, 1))
     proj[..., 0, 3] = 10.0
     model = CascadeMVSNet(sampling="patch")
-    out = model.init_with_output(jax.random.PRNGKey(0), imgs,
-                                 jnp.asarray(proj), 425.0, 2.65)[0]
+    out = jax.jit(model.init_with_output)(jax.random.PRNGKey(0), imgs,
+                                          jnp.asarray(proj), 425.0, 2.65)[0]
     assert out["depth_0"].shape == (B, H, W)
     assert bool(jnp.all(jnp.isfinite(out["depth_0"])))
