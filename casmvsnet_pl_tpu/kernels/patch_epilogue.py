@@ -104,12 +104,13 @@ def _tfma_bwd(goT: Array, fx: Array, fy: Array, ph: int, pw: int) -> Array:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=32)
-def _pallas_fwd_call(ph, pw, g, Ch, T, n_i, n_t, dtype_str):
+def _pallas_fwd_call(ph, pw, g, Ch, T, n_i, n_t, dtype_str, out_dtype_str):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     L = ph * pw * Ch
     hw = n_t * T
+    out_dtype = jnp.dtype(out_dtype_str)
 
     def kernel(fx_ref, fy_ref, rT_ref, o_ref):
         fx = fx_ref[0]                                        # (g, T)
@@ -123,7 +124,11 @@ def _pallas_fwd_call(ph, pw, g, Ch, T, n_i, n_t, dtype_str):
                 k = dy * pw + dx
                 r = rT_ref[0, k * Ch:(k + 1) * Ch, :].astype(jnp.float32)
                 acc = acc + w * r[None]
-        o_ref[0] = acc
+        # Accumulate f32 in-register; store in out_dtype. A bf16 store
+        # halves the write traffic at the Pallas boundary (which always
+        # materializes to HBM) — the batch>=2 regime is HBM-bound at a
+        # measured ~450 GB/s stream rate (scripts/probe_hbm.py).
+        o_ref[0] = acc.astype(out_dtype)
 
     return pl.pallas_call(
         kernel,
@@ -138,7 +143,7 @@ def _pallas_fwd_call(ph, pw, g, Ch, T, n_i, n_t, dtype_str):
         ],
         out_specs=pl.BlockSpec((1, g, Ch, T), lambda i, t: (i, 0, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_i, g, Ch, hw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_i, g, Ch, hw), out_dtype),
     )
 
 
@@ -185,21 +190,26 @@ def _pallas_bwd_call(ph, pw, g, Ch, T, n_i, n_t):
 # ---------------------------------------------------------------------------
 
 def epilogue_fwd(rowsT: Array, fx: Array, fy: Array, ph: int,
-                 pw: int) -> Array:
+                 pw: int, out_dtype=None) -> Array:
     """Bilinear extraction of g samples per gathered patch row.
 
     rowsT: (B, ng, L, hw) patch rows, pixel-minor; fx/fy: (B, ng, g, hw)
     f32 validfolded patch-frame coords (invalid samples hold fx = -9).
-    Returns (B, ng, g, Ch, hw) float32.
+    Returns (B, ng, g, Ch, hw) in ``out_dtype`` (default float32).
+    Interpolation always accumulates in f32; ``out_dtype=bfloat16`` only
+    rounds the stored result, halving the HBM write at the kernel
+    boundary.
     """
     B, ng, L, hw = rowsT.shape
     g = fx.shape[2]
     Ch = L // (ph * pw)
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else jnp.float32
     if not _use_pallas(hw):
-        return _tfma_fwd(rowsT, fx, fy, ph, pw)
+        return _tfma_fwd(rowsT, fx, fy, ph, pw).astype(out_dtype)
     T = _pick_tile(hw)
     n_i = B * ng
-    fn = _pallas_fwd_call(ph, pw, g, Ch, T, n_i, hw // T, str(rowsT.dtype))
+    fn = _pallas_fwd_call(ph, pw, g, Ch, T, n_i, hw // T, str(rowsT.dtype),
+                          str(out_dtype))
     o = fn(fx.reshape(n_i, g, hw), fy.reshape(n_i, g, hw),
            rowsT.reshape(n_i, L, hw))
     return o.reshape(B, ng, g, Ch, hw)

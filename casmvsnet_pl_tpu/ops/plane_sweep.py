@@ -449,7 +449,13 @@ def _patch_sample(static, table: Array, ops) -> Array:
         outs = []
         for s in range(S):
             rowsT = jnp.swapaxes(rows[:, :, :, s], -1, -2)
-            outs.append(epilogue_fwd(rowsT, fx, fy, ph, pw))
+            # Emit in the table dtype (bf16 on TPU): the kernel boundary
+            # always materializes to HBM, and the warped volumes are the
+            # largest arrays in the level — the f32 accumulation happens
+            # in-register inside the kernel and again in the variance /
+            # correlation combine, so only the stored samples are rounded.
+            outs.append(epilogue_fwd(rowsT, fx, fy, ph, pw,
+                                     out_dtype=table.dtype))
         o = outs[0] if S == 1 else jnp.concatenate(outs, axis=3)
         # (B, ng, g, C, hw) -> (B, D, hw, C); the transpose fuses into the
         # variance/correlation accumulation (measured free, probe_epi5).
@@ -464,7 +470,12 @@ def _patch_sample(static, table: Array, ops) -> Array:
         w4, y0i, x0i = quad_weights(xy, height, width)
         idx = (y0i * (width + 1) + x0i).reshape(B, -1)
         rows = _patch_gather(quad, idx)
-        return _tap_reduce(rows, w4.reshape(B, -1, 4)).reshape(B, D, hw, C)
+        # Match patch_fwd's output dtype (lax.cond branches must agree).
+        # The f32-out rule for the standalone quad path (_tap_reduce note)
+        # protected the dot->variance fusion; here the cast is the branch's
+        # last op and this fallback only runs on unfit geometry anyway.
+        return (_tap_reduce(rows, w4.reshape(B, -1, 4))
+                .reshape(B, D, hw, C).astype(table.dtype))
 
     def block_fwd():
         # Past-the-row-cliff fallback (fb_align > 0): a quad table here
@@ -479,7 +490,7 @@ def _patch_sample(static, table: Array, ops) -> Array:
         x = ops["x"].reshape(B, -1)
         y = ops["y"].reshape(B, -1)
         o = _block_sample(btab, x, y, height, width, fb_align)
-        return o.reshape(B, D, hw, C)
+        return o.reshape(B, D, hw, C).astype(table.dtype)
 
     fallback = block_fwd if fb_align > 0 else quad_fwd
     return _patch_nested_cond(groups, ops["per_g"], patch_fwd, fallback)
@@ -899,7 +910,13 @@ _quad_sample.defvjp(_quad_sample_fwd, _quad_sample_bwd)
 
 def _sample_view(tables_v: Array, proj_mat_v: Array, depth_values: Array,
                  height: int, width: int, cfg) -> Array:
-    """Warped features of one source view: (B, D, H*W, C) float32."""
+    """Warped features of one source view: (B, D, H*W, C).
+
+    Patch mode returns the table dtype (bf16 on TPU — the Pallas epilogue
+    stores rounded samples to halve its HBM boundary traffic); the other
+    modes return float32. Consumers upcast in-register before
+    accumulating.
+    """
     if cfg["mode"] == "quad":
         return _quad_view(tables_v, proj_mat_v, depth_values, height, width)
     if cfg["mode"] == "block":
@@ -942,6 +959,10 @@ def batched_variance_cost_volume(feats: Array, proj_mats: Array,
         for v in range(V - 1):
             o = _sample_view(tables[:, v], proj_mats[:, v], depth_values,
                              H, W, cfg)
+            # The patch sampler returns the table dtype (bf16 on TPU);
+            # upcast in-register — the cast fuses into the accumulation,
+            # keeping the E[f]/E[f^2] sums exact f32 over rounded samples.
+            o = o.astype(jnp.float32)
             s = s + o
             sq = sq + o * o
         var = sq / V - (s / V) ** 2
@@ -979,7 +1000,7 @@ def batched_groupwise_cost_volume(feats: Array, proj_mats: Array,
         for v in range(V - 1):
             o = _sample_view(tables[:, v], proj_mats[:, v], depth_values,
                              H, W, cfg)
-            prod = o * reff
+            prod = o.astype(jnp.float32) * reff
             acc = acc + jax.lax.dot_general(
                 prod, gm, dimension_numbers=(((3,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)

@@ -62,7 +62,7 @@ def test_pallas_fwd_matches_tfma():
         g = fx.shape[2]
         Ch = L // 16
         fn = pe._pallas_fwd_call(4, 4, g, Ch, 128, B * ng, hw // 128,
-                                 str(rowsT.dtype))
+                                 str(rowsT.dtype), "float32")
         out = fn(fx.reshape(B * ng, g, hw), fy.reshape(B * ng, g, hw),
                  rowsT.reshape(B * ng, L, hw)).reshape(ref.shape)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
@@ -106,3 +106,18 @@ def test_dispatch_odd_hw_uses_tfma():
     out = pe.epilogue_fwd(rowsT, fx, fy, 4, 4)
     ref = pe._tfma_fwd(rowsT, fx, fy, 4, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_fwd_out_dtype_rounds_only():
+    """out_dtype=bfloat16 must be the f32 result rounded, not a lower-
+    precision accumulation (the kernel accumulates f32 in-register and
+    casts only the store)."""
+    rng = np.random.RandomState(3)
+    rowsT, fx, fy = _inputs(rng)
+    full = pe.epilogue_fwd(rowsT, fx, fy, 4, 4)
+    assert full.dtype == jnp.float32
+    half = pe.epilogue_fwd(rowsT, fx, fy, 4, 4, out_dtype=jnp.bfloat16)
+    assert half.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(half, np.float32), np.asarray(full),
+        rtol=1e-2, atol=1e-2)
