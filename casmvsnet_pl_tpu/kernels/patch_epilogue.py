@@ -56,7 +56,8 @@ def _on_tpu() -> bool:
     """
     dd = jax.config.jax_default_device
     if dd is not None:
-        return dd.platform == "tpu"
+        # jax_default_device may hold a Device object or a platform string.
+        return getattr(dd, "platform", dd) == "tpu"
     return jax.default_backend() == "tpu"
 
 

@@ -1,7 +1,7 @@
 from .blocks import ConvBnAct, ConvTransposeBnAct3D
-from .cascade import CascadeMVSNet
+from .cascade import CascadeMVSNet, chunked_apply
 from .cost_reg import CostRegNet
 from .feature_net import FeatureNet
 
 __all__ = ["ConvBnAct", "ConvTransposeBnAct3D", "FeatureNet", "CostRegNet",
-           "CascadeMVSNet"]
+           "CascadeMVSNet", "chunked_apply"]

@@ -50,6 +50,55 @@ def _sum4_confidence(prob: Array, depth_values_len: int) -> Array:
     return jnp.take_along_axis(sum4, idx[:, None], axis=1)[:, 0]
 
 
+def chunked_apply(model: "CascadeMVSNet", variables, imgs: Array,
+                  proj_mats: Array, init_depth_min, depth_interval,
+                  chunk: int = 1) -> dict[str, Array]:
+    """Inference forward with the cascade chunked over the batch axis.
+
+    Why: on v5e the cascade's per-sample working sets (packed tables,
+    gathered rows, cost volumes — tens of MB each) ride VMEM at batch 1
+    but spill to the ~450 GB/s HBM stream at batch >= 4, costing ~20% per
+    map (PERF_NOTES.md "Batch scaling"). Feature extraction scales fine
+    (pure MXU convs), so it runs batched; the rest of the cascade runs
+    through ``lax.map`` in chunks of ``chunk`` samples so each iteration's
+    working set stays in the VMEM-resident regime. The reference has no
+    analog (its CUDA kernels stream from HBM at any batch,
+    /root/reference/models/modules.py:52-92); this is a TPU memory-
+    hierarchy concern only.
+
+    Inference only: under training the cost regularizers' batch-norm
+    statistics must see the whole batch, and training runs at batch <= 2
+    per chip where the spill gap is small.
+
+    imgs: (B, V, H, W, 3); B must be divisible by ``chunk``.
+    Returns the same dict as ``model.apply`` on the full batch.
+    """
+    B = imgs.shape[0]
+    assert B % chunk == 0, (B, chunk)
+    nc = B // chunk
+    if nc == 1:
+        return model.apply(variables, imgs, proj_mats, init_depth_min,
+                           depth_interval)
+    dmin = jnp.broadcast_to(jnp.asarray(init_depth_min, jnp.float32), (B,))
+    dint = jnp.broadcast_to(jnp.asarray(depth_interval, jnp.float32), (B,))
+
+    feats = model.apply(variables, imgs, False,
+                        method=CascadeMVSNet.features)
+    feats_c = jax.tree.map(
+        lambda f: f.reshape((nc, chunk) + f.shape[1:]), feats)
+    proj_c = proj_mats.reshape((nc, chunk) + proj_mats.shape[1:])
+    dmin_c = dmin.reshape(nc, chunk)
+    dint_c = dint.reshape(nc, chunk)
+
+    def one(x):
+        ft, pr, dm, di = x
+        return model.apply(variables, ft, pr, dm, di,
+                           method=CascadeMVSNet.from_features)
+
+    out = jax.lax.map(one, (feats_c, proj_c, dmin_c, dint_c))
+    return jax.tree.map(lambda o: o.reshape((B,) + o.shape[2:]), out)
+
+
 class CascadeMVSNet(nn.Module):
     """Args mirror the reference flags (--n_depths, --interval_ratios,
     --num_groups); ``dtype`` selects the TPU compute precision (bfloat16
@@ -119,29 +168,40 @@ class CascadeMVSNet(nn.Module):
         confidence = _sum4_confidence(prob, depth_values.shape[1])
         return depth, confidence
 
-    def __call__(self, imgs: Array, proj_mats: Array,
-                 init_depth_min: Array | float,
-                 depth_interval: Array | float,
-                 train: bool = False) -> dict[str, Array]:
-        """imgs: (B, V, H, W, 3) normalized images;
-        proj_mats: (B, V-1, levels, 3, 4), level index fine->coarse;
-        init_depth_min / depth_interval: scalar or (B,).
+    def features(self, imgs: Array, train: bool = False) -> dict[str, Array]:
+        """Shared FPN features for all views.
 
-        Returns {'depth_l': (B, h_l, w_l), 'confidence_l': ...} for l=0,1,2.
+        imgs: (B, V, H, W, 3) -> {'level_l': (B, V, h_l, w_l, C_l)}.
+        Exposed separately so inference can batch the (well-scaling)
+        feature extraction while chunking the cascade (see
+        :func:`chunked_apply`).
         """
         B, V, H, W, _ = imgs.shape
-        dmin = jnp.broadcast_to(jnp.asarray(init_depth_min, jnp.float32), (B,))
-        dint = jnp.broadcast_to(jnp.asarray(depth_interval, jnp.float32), (B,))
-
         feats = self.feature(imgs.reshape(B * V, H, W, 3).astype(self.dtype),
                              train)
+        out = {}
+        for name, f in feats.items():
+            h, w, c = f.shape[1:]
+            out[name] = f.reshape(B, V, h, w, c)
+        return out
+
+    def from_features(self, feats: dict[str, Array], proj_mats: Array,
+                      init_depth_min: Array | float,
+                      depth_interval: Array | float,
+                      train: bool = False) -> dict[str, Array]:
+        """The cascade after feature extraction (cost volumes -> depths).
+
+        feats: {'level_l': (B, V, h_l, w_l, C_l)} from :meth:`features`.
+        """
+        B = proj_mats.shape[0]
+        dmin = jnp.broadcast_to(jnp.asarray(init_depth_min, jnp.float32), (B,))
+        dint = jnp.broadcast_to(jnp.asarray(depth_interval, jnp.float32), (B,))
 
         results: dict[str, Array] = {}
         depth_prev = None
         for l in reversed(range(self.levels)):               # 2, 1, 0
-            feats_l = feats[f"level_{l}"]
-            h, w = feats_l.shape[1:3]
-            feats_l = feats_l.reshape(B, V, h, w, feats_l.shape[-1])
+            feats_l = feats[f"level_{l}"]                    # (B, V, h, w, C)
+            h, w = feats_l.shape[2:4]
             proj_mats_l = proj_mats[:, :, l]                 # (B, V-1, 3, 4)
             interval_l = dint * float(self.interval_ratios[l])
             D = int(self.n_depths[l])
@@ -157,3 +217,17 @@ class CascadeMVSNet(nn.Module):
             results[f"confidence_{l}"] = conf_l
             depth_prev = depth_l
         return results
+
+    def __call__(self, imgs: Array, proj_mats: Array,
+                 init_depth_min: Array | float,
+                 depth_interval: Array | float,
+                 train: bool = False) -> dict[str, Array]:
+        """imgs: (B, V, H, W, 3) normalized images;
+        proj_mats: (B, V-1, levels, 3, 4), level index fine->coarse;
+        init_depth_min / depth_interval: scalar or (B,).
+
+        Returns {'depth_l': (B, h_l, w_l), 'confidence_l': ...} for l=0,1,2.
+        """
+        feats = self.features(imgs, train)
+        return self.from_features(feats, proj_mats, init_depth_min,
+                                  depth_interval, train)

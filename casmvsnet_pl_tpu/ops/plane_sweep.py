@@ -320,7 +320,8 @@ def _patch_view(table: Array, proj_mat: Array, depth_values: Array,
     cascade recenters hypotheses on a gradient-stopped previous depth,
     models/cascade.py, matching /root/reference/models/mvsnet.py:233).
 
-    Returns (B, D, H*W, C) float32 sampled features.
+    Returns (B, D, H*W, C) sampled features in the table dtype (bf16 on
+    TPU, f32 elsewhere).
     """
     B, Ht, Wt, SL = table.shape
     S = split

@@ -7,6 +7,23 @@ Flag parity with /root/reference/opt.py:3-75, plus TPU-native extras
 from __future__ import annotations
 
 import argparse
+import os
+
+
+def sampling_choices():
+    """CLI-reachable sampling modes: exact modes only.
+
+    ``window`` sampling is a bounded approximation (it clamps bilinear
+    supports that exceed the packed strip, ops/plane_sweep.py) and loses
+    on v5e anyway, so it is not offered as a normal choice — no user
+    config should silently degrade accuracy. It remains reachable
+    deliberately via ``CASMVS_ENABLE_WINDOW_SAMPLING=1`` for debugging
+    or for hardware with a different gather/VPU cost ratio.
+    """
+    choices = ['auto', 'quad', 'patch']
+    if os.environ.get('CASMVS_ENABLE_WINDOW_SAMPLING') == '1':
+        choices.append('window')
+    return choices
 
 
 def get_opts(argv=None):
@@ -78,12 +95,15 @@ def get_opts(argv=None):
                              'lower peak memory; the TPU analog of the '
                              "reference's InPlace-ABN memory trick)")
     parser.add_argument('--sampling', type=str, default='auto',
-                        choices=['auto', 'quad', 'window', 'patch'],
+                        choices=sampling_choices(),
                         help='plane-sweep sampling strategy (see '
                              'ops/plane_sweep.py; auto=patch-shared gathers '
                              'at every cascade level, with aligned-block '
                              'tables as the unfit-geometry / past-the-cliff '
-                             'fallback)')
+                             'fallback). All listed modes are exact; the '
+                             'approximate "window" mode is a debug escape '
+                             'hatch reachable only with '
+                             'CASMVS_ENABLE_WINDOW_SAMPLING=1.')
     parser.add_argument('--num_workers', type=int, default=4)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--exp_name', type=str, default='exp')

@@ -41,8 +41,21 @@ def init_on_cpu(model, rngs, *args, device=None, **kwargs):
       The variables pytree, resident on ``device``.
     """
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        variables = model.init(rngs, *args, **kwargs)
+    # Suspend the persistent compilation cache for the CPU-backend work:
+    # XLA:CPU serializes AOT executables pinned to the compiling host's
+    # CPU feature set (cpu_aot_loader warns of SIGILL when another
+    # machine loads them), so CPU entries must never enter — or be loaded
+    # from — the shared TPU cache dir. The eager init is dispatch-bound,
+    # not compile-bound, so caching buys nothing here anyway.
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if cache_dir is not None:
+        jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        with jax.default_device(cpu):
+            variables = model.init(rngs, *args, **kwargs)
+    finally:
+        if cache_dir is not None:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
     if device is None:
         device = jax.devices()[0]
     if device.platform == "cpu":

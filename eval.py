@@ -18,6 +18,8 @@ from argparse import ArgumentParser
 
 import numpy as np
 
+from casmvsnet_pl_tpu.opt import sampling_choices
+
 
 def get_opts(argv=None):
     parser = ArgumentParser()
@@ -46,8 +48,10 @@ def get_opts(argv=None):
                         choices=['bf16', 'f32'])
     # point cloud fusion
     parser.add_argument('--sampling', type=str, default='auto',
-                        choices=['auto', 'quad', 'window', 'patch'],
-                        help='plane-sweep sampling strategy')
+                        choices=sampling_choices(),
+                        help='plane-sweep sampling strategy (all listed '
+                             'modes are exact; the approximate "window" '
+                             'mode needs CASMVS_ENABLE_WINDOW_SAMPLING=1)')
     parser.add_argument('--conf', type=float, default=0.999,
                         help='min confidence for a pixel to be valid')
     parser.add_argument('--min_geo_consistent', type=int, default=5,

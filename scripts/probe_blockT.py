@@ -82,10 +82,13 @@ def main():
 
     def patch(feat, proj, depths):
         cfg = ps.patch_config(C, D)
+        # Fused-split layout: (B, Ht, Wt, S*L); here split=1 so the vmap'd
+        # pack_patches table is already the right shape.
         table = jax.vmap(
-            lambda f: pack_patches(f, cfg["ph"], cfg["pw"]))(feat)[:, None]
+            lambda f: pack_patches(f, cfg["ph"], cfg["pw"]))(feat)
         return jnp.sum(ps._patch_view(table, proj, depths, H, W,
-                                      cfg["ph"], cfg["pw"], cfg["groups"]))
+                                      cfg["ph"], cfg["pw"], cfg["groups"],
+                                      split=cfg.get("split", 1)))
 
     fns = {"block": block, "blockT": blockT, "patch": patch}
     for mode in modes:

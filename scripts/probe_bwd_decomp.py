@@ -64,11 +64,13 @@ def main():
         feat = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
 
         def pk(f):
-            return jnp.stack([
+            # Fused-split layout: splits concatenated along the lane axis
+            # (one (S*L)-lane gather row per pixel), matching _pack_tables.
+            return jnp.concatenate([
                 ps.pack_patches(f[..., i * cs:(i + 1) * cs], ph, pw)
-                for i in range(S)])
+                for i in range(S)], axis=-1)
 
-        table = jax.jit(jax.vmap(pk))(feat)           # (B, S, Ht, Wt, L)
+        table = jax.jit(jax.vmap(pk))(feat)           # (B, Ht, Wt, S*L)
         g = max(cfg["groups"])
         ng = D // g
 
@@ -137,7 +139,7 @@ def main():
 
         def view_fb(table):
             o = ps._patch_view(table, proj[:, 0], dv, H, W, ph, pw,
-                               cfg["groups"])
+                               cfg["groups"], split=S)
             return jnp.sum(o)
 
         t("view f+b (grad wrt table)", lambda tb: jnp.sum(

@@ -108,6 +108,29 @@ def test_cascade_scalar_vs_batched_depth_args(tiny_cascade):
                            atol=1e-5)
 
 
+def test_chunked_apply_matches_batched(tiny_cascade):
+    """chunked_apply (batched features + lax.map'd cascade) is exact.
+
+    The chunked path exists for VMEM locality at batch >= 4 on TPU
+    (PERF_NOTES.md "Batch scaling"); numerically it must match the plain
+    batched forward bit-for-bit up to reduction order.
+    """
+    from casmvsnet_pl_tpu.models import chunked_apply
+    model, var, imgs, proj_mats, japply = tiny_cascade
+    rng = np.random.RandomState(1)
+    imgs2 = jnp.concatenate(
+        [imgs, imgs + jnp.asarray(0.1 * rng.randn(*imgs.shape)
+                                  .astype(np.float32))], axis=0)
+    proj2 = jnp.concatenate([proj_mats, proj_mats], axis=0)
+    full = japply(var, imgs2, proj2, 425.0, 2.65)
+    chunked = jax.jit(
+        lambda v, im, pr: chunked_apply(model, v, im, pr, 425.0, 2.65,
+                                        chunk=1))(var, imgs2, proj2)
+    for k in full:
+        assert np.allclose(np.asarray(full[k]), np.asarray(chunked[k]),
+                           atol=1e-5), k
+
+
 def test_cascade_groupwise(tiny_cascade):
     _, _, imgs, proj_mats, _ = tiny_cascade
     model = CascadeMVSNet(n_depths=(8, 8, 16), interval_ratios=(1., 2., 4.),
