@@ -87,7 +87,16 @@ def bench_forward(batch: int = 2, H: int = 512, W: int = 640,
     model, variables = _cache["model"], _cache["vars"]
 
     def forward(imgs, proj):
-        out = model.apply(variables, imgs, proj, 425.0, 2.65)
+        # Batch >= 4 runs the batch-chunked forward: per-sample working
+        # sets stay VMEM-resident instead of spilling to the HBM stream,
+        # which costs ~20%/map at batch 4 (PERF_NOTES "Batch scaling";
+        # measured 23.44 -> 29.39 maps/s).
+        if batch >= 4:
+            from casmvsnet_pl_tpu.models import chunked_apply
+            out = chunked_apply(model, variables, imgs, proj, 425.0, 2.65,
+                                chunk=1)
+        else:
+            out = model.apply(variables, imgs, proj, 425.0, 2.65)
         return out["depth_0"], out["confidence_2"]
 
     dt = device_time(forward, imgs, proj, iters=iters)
@@ -106,7 +115,12 @@ def main():
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_tpu_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 10 s floor: TPU cascade graphs take minutes and always cache, while
+    # XLA:CPU side executables (host constant folding etc.) compile in
+    # well under 10 s and must NOT enter the shared cache — CPU AOT
+    # results pin the compiling host's feature set and cpu_aot_loader
+    # warns of SIGILL when any other machine loads them (VERDICT r4).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     on_tpu = jax.default_backend() == "tpu"
     t0 = time.time()
     best = 0.0

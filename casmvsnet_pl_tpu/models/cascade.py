@@ -58,11 +58,16 @@ def chunked_apply(model: "CascadeMVSNet", variables, imgs: Array,
     Why: on v5e the cascade's per-sample working sets (packed tables,
     gathered rows, cost volumes — tens of MB each) ride VMEM at batch 1
     but spill to the ~450 GB/s HBM stream at batch >= 4, costing ~20% per
-    map (PERF_NOTES.md "Batch scaling"). Feature extraction scales fine
-    (pure MXU convs), so it runs batched; the rest of the cascade runs
-    through ``lax.map`` in chunks of ``chunk`` samples so each iteration's
-    working set stays in the VMEM-resident regime. The reference has no
-    analog (its CUDA kernels stream from HBM at any batch,
+    map (PERF_NOTES.md "Batch scaling"). ``lax.map`` runs the FULL
+    forward in chunks of ``chunk`` samples, so each iteration's working
+    set stays in the VMEM-resident regime. Measured at the bench config
+    (scripts/probe_chunked{,2}.py, 2026-08-20): batch 4 23.44 -> 29.39
+    maps/s, batch 8 27.98 -> 29.33, vs 29.29 at batch 1 — full batch-1
+    parity. Two rejected variants from the same probes: batching the
+    feature net outside the map cost ~4 ms/iter in layout handoffs
+    (27.00 maps/s), and a python-unrolled loop compiles nc x bigger for
+    the same speed (29.22). The reference has no analog (its CUDA
+    kernels stream from HBM at any batch,
     /root/reference/models/modules.py:52-92); this is a TPU memory-
     hierarchy concern only.
 
@@ -82,20 +87,14 @@ def chunked_apply(model: "CascadeMVSNet", variables, imgs: Array,
     dmin = jnp.broadcast_to(jnp.asarray(init_depth_min, jnp.float32), (B,))
     dint = jnp.broadcast_to(jnp.asarray(depth_interval, jnp.float32), (B,))
 
-    feats = model.apply(variables, imgs, False,
-                        method=CascadeMVSNet.features)
-    feats_c = jax.tree.map(
-        lambda f: f.reshape((nc, chunk) + f.shape[1:]), feats)
-    proj_c = proj_mats.reshape((nc, chunk) + proj_mats.shape[1:])
-    dmin_c = dmin.reshape(nc, chunk)
-    dint_c = dint.reshape(nc, chunk)
-
     def one(x):
-        ft, pr, dm, di = x
-        return model.apply(variables, ft, pr, dm, di,
-                           method=CascadeMVSNet.from_features)
+        im, pr, dm, di = x
+        return model.apply(variables, im, pr, dm, di)
 
-    out = jax.lax.map(one, (feats_c, proj_c, dmin_c, dint_c))
+    out = jax.lax.map(
+        one, (imgs.reshape((nc, chunk) + imgs.shape[1:]),
+              proj_mats.reshape((nc, chunk) + proj_mats.shape[1:]),
+              dmin.reshape(nc, chunk), dint.reshape(nc, chunk)))
     return jax.tree.map(lambda o: o.reshape((B,) + o.shape[2:]), out)
 
 
