@@ -18,8 +18,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.conv3d import (conv3x3x3, conv3x3x3_folded, conv_transpose3x3x3_s2,
-                          conv_transpose3x3x3_s2_folded)
+from ..ops.conv3d import (conv2d_wfolded, conv3x3x3, conv3x3x3_folded,
+                          conv_transpose3x3x3_s2,
+                          conv_transpose3x3x3_s2_folded, wfold_factor)
 
 Dtype = Any
 
@@ -163,6 +164,35 @@ class ConvTransposeBnActFolded(nn.Module):
         return nn.leaky_relu(y, LEAKY_SLOPE)
 
 
+class WFoldedConv2D(nn.Module):
+    """Width-folded k x k stride-1 SAME 2D conv (ops/conv3d.conv2d_wfolded).
+
+    Exact, and parameter-compatible with ``nn.Conv`` (kernel
+    (k, k, Ci, Co) [+ bias (Co,)]), so checkpoints are interchangeable
+    with the plain formulation. Used where the output channel count
+    would idle most MXU lanes (feature-net smooth convs: Cout 8/16 at
+    full resolution ran ~1% MFU, scripts/probe_feature.py).
+    """
+    features: int
+    fold: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, x.shape[-1], self.features), jnp.float32)
+        y = conv2d_wfolded(x.astype(self.dtype),
+                           kernel.astype(self.dtype), self.fold)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvBnAct(nn.Module):
     """conv(bias=False) -> BatchNorm -> leaky_relu, N-dimensional.
 
@@ -178,12 +208,20 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        wf = (wfold_factor(x.shape[-2], self.features)
+              if (self.dims == 2 and self.stride == 1
+                  and self.pad == (self.kernel_size - 1) // 2) else 1)
         if self.dims == 3 and self.kernel_size == 3 and self.pad == 1 \
                 and self.stride in (1, 2):
             # kd-unrolled fast path (ops/conv3d.py): ~2-3x on TPU for the
             # small channel counts of CostRegNet. Same param tree as nn.Conv.
             x = Conv3DKd(self.features, self.stride, dtype=self.dtype,
                          name="conv")(x)
+        elif wf >= 4:
+            # width-folded fast path: small output channel counts idle the
+            # 128 MXU lanes; the fold is a free reshape (identical layout).
+            x = WFoldedConv2D(self.features, wf, self.kernel_size,
+                              dtype=self.dtype, name="conv")(x)
         else:
             k = (self.kernel_size,) * self.dims
             s = (self.stride,) * self.dims

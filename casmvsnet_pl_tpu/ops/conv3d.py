@@ -169,6 +169,67 @@ def conv_transpose3x3x3_s2_folded(xf: Array, kernel: Array,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+# ---------------------------------------------------------------------------
+# WIDTH-folded 2D convs: the same banded-dense trade for the FEATURE net's
+# small-channel 3x3 stride-1 convs (smooth0/smooth1 run ~1% MFU at Cout 8/16,
+# scripts/probe_feature.py). Unlike the D-fold, the W-fold costs NOTHING to
+# enter or leave: (B, H, W, C) -> (B, H, W/F, F*C) is the identical row-major
+# layout (w = wb*F + j), so folded and unfolded stages mix freely.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _wfold_scatter(F: int, kw: int):
+    """(wbt, ji, jo, t) quadruples: folded-block tap wbt (0..2 = blocks
+    -1/0/+1), in-block input j, output j, original width tap t; stride 1,
+    pad (kw-1)//2."""
+    p = (kw - 1) // 2
+    out = []
+    for wbt in range(3):
+        for jo in range(F):
+            for ji in range(F):
+                t = (wbt - 1) * F + ji - jo + p
+                if 0 <= t < kw:
+                    out.append((wbt, ji, jo, t))
+    a = np.asarray(out)
+    return a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+
+
+def wfold_kernel2d(kernel: Array, F: int) -> Array:
+    """(kh, kw, Ci, Co) -> (kh, 3, F*Ci, F*Co) banded-dense width fold."""
+    kh, kw, Ci, Co = kernel.shape
+    wbt, ji, jo, t = _wfold_scatter(F, kw)
+    kf = jnp.zeros((kh, 3, F, Ci, F, Co), kernel.dtype)
+    kf = kf.at[:, wbt, ji, :, jo, :].set(kernel[:, t].transpose(1, 0, 2, 3))
+    return kf.reshape(kh, 3, F * Ci, F * Co)
+
+
+def conv2d_wfolded(x: Array, kernel: Array, F: int) -> Array:
+    """k x k stride-1 SAME 2D conv on a width-folded layout.
+
+    x: (B, H, W, Ci) with W % F == 0; kernel: (kh, kw, Ci, Co).
+    Exact (same taps; dense zeros only add fp-noise-free products).
+    """
+    B, H, W, Ci = x.shape
+    kh = kernel.shape[0]
+    Co = kernel.shape[-1]
+    ph = (kh - 1) // 2
+    xf = x.reshape(B, H, W // F, F * Ci)
+    kf = wfold_kernel2d(kernel.astype(x.dtype), F)
+    zf = jax.lax.conv_general_dilated(
+        xf, kf, (1, 1), ((ph, ph), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return zf.reshape(B, H, W, Co)
+
+
+def wfold_factor(W: int, Co: int, lanes: int = 128) -> int:
+    """Largest F with F*Co <= lanes and W % F == 0 (1 = don't fold)."""
+    F = max(1, lanes // max(Co, 1))
+    while F > 1 and W % F:
+        F //= 2
+    return F
+
+
 def fold_volume(x: Array) -> Array:
     """(B, D, H, W, C) -> (B, H, W, D*C)."""
     B, D, H, W, C = x.shape

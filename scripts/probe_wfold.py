@@ -31,44 +31,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import jax.numpy as jnp
 import numpy as np
 
+from casmvsnet_pl_tpu.ops.conv3d import conv2d_wfolded as conv_wfolded
 from casmvsnet_pl_tpu.utils.devtime import device_time
-
-
-@functools.lru_cache(maxsize=None)
-def _wfold_idx(F: int, k: int):
-    """(wbt, ji, jo, t) quadruples connecting folded blocks, k-tap, pad
-    (k-1)//2, stride 1."""
-    p = (k - 1) // 2
-    out = []
-    for wbt in range(3):                      # block taps -1, 0, +1
-        for jo in range(F):
-            for ji in range(F):
-                t = (wbt - 1) * F + ji - jo + p
-                if 0 <= t < k:
-                    out.append((wbt, ji, jo, t))
-    a = np.asarray(out)
-    return a[:, 0], a[:, 1], a[:, 2], a[:, 3]
-
-
-def wfold_kernel(kernel, F: int):
-    """(kh, kw, Ci, Co) -> (kh, 3, F*Ci, F*Co) banded-dense width fold."""
-    kh, kw, Ci, Co = kernel.shape
-    wbt, ji, jo, t = _wfold_idx(F, kw)
-    kf = jnp.zeros((kh, 3, F, Ci, F, Co), kernel.dtype)
-    kf = kf.at[:, wbt, ji, :, jo, :].set(
-        kernel[:, t].transpose(1, 0, 2, 3))
-    return kf.reshape(kh, 3, F * Ci, F * Co)
-
-
-def conv_wfolded(x, kernel, F: int):
-    B, H, W, Ci = x.shape
-    Co = kernel.shape[-1]
-    xf = x.reshape(B, H, W // F, F * Ci)
-    kf = wfold_kernel(kernel.astype(x.dtype), F)
-    zf = jax.lax.conv_general_dilated(
-        xf, kf, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return zf.reshape(B, H, W, Co)
 
 
 def conv_plain(x, kernel):
