@@ -83,6 +83,89 @@ def batched_take(table: Array, idx: Array) -> Array:
     return rows
 
 
+# Gather fast-regime row budget (PERF_NOTES "Gather engine": rates collapse
+# from ~3-5 to ~11-12 ns/row past ~340K source rows). Mirrors
+# plane_sweep._ROW_THRESH; duplicated to avoid a circular import.
+_GATHER_FAST_ROWS = 340_000
+
+
+def gather_band_cfg(R: int, Wt: int, H: int, W: int,
+                    itemsize_lanes: int = 256):
+    """Static banding parameters for the FORWARD gather, or None.
+
+    Banding only pays when the source table is past the gather fast-regime
+    row budget (eval-res level 0: 999K rows gather at ~12 ns/row). A tile
+    of consecutive ref-image rows reads from a bounded band of source
+    rows; a band-sized dynamic slice re-enters the fast regime. Measured
+    at 1152x864 L0 geometry (scripts/probe_banded_gather.py, v5e):
+    mono 12.05 ms -> banded(tile 96, band 128) 3.84 ms / (tile 32, band
+    64) 4.47 (both ~32 ref rows of drift headroom); too-thin bands
+    (96/64, 32/32) overflow on the same geometry and correctly fall
+    back to the monolithic gather. Returns (tile_rows, band_rows).
+    """
+    if os.environ.get("CASMVS_BANDED_GATHER", "1") == "0":
+        return None
+    if R <= _GATHER_FAST_ROWS:
+        return None
+    for tile_rows, band_rows in ((96, 128), (32, 64), (16, 64), (8, 64)):
+        if H % tile_rows == 0:
+            return tile_rows, band_rows
+    return None
+
+
+def banded_gather_rows(table: Array, idx: Array, valid: Array, ng: int,
+                       H: int, W: int, Wt: int, tile_rows: int,
+                       band_rows: int) -> Array:
+    """Row gather from a past-the-cliff table via per-tile band slices.
+
+    table: (B, R, L) with R = Ht*Wt source rows; idx: (B, ng*H*W) row
+    indices laid out (group, ref-row-major pixels); valid: (B, ng*H*W)
+    bool — False rows may gather arbitrary band content (their bilinear
+    weights are zero downstream), but only VALID rows constrain the band.
+    A tile whose valid rows escape its band triggers an exact
+    monolithic-gather fallback for the whole batch element (lax.cond).
+    Returns (B, ng*H*W, L) in table.dtype.
+    """
+    B, R, L = table.shape
+    bz = band_rows * Wt
+    m = tile_rows * W
+    nt = idx.shape[1] // m                # = ng * H / tile_rows
+    big = jnp.int32(np.iinfo(np.int32).max)
+
+    def one(t, i, v):
+        it = i.reshape(nt, m)
+        vt = v.reshape(nt, m)
+        mn = jnp.min(jnp.where(vt, it, big), axis=1)
+        start = jnp.clip(mn // Wt * Wt, 0, R - bz)
+        local = it - start[:, None]
+        overflow = jnp.any(vt & ((local < 0) | (local >= bz)))
+        local = jnp.clip(local, 0, bz - 1)
+
+        def tile(_, x):
+            s, loc = x
+            band = jax.lax.dynamic_slice(t, (s, 0), (bz, L))
+            return (), jnp.take(band, loc, axis=0)
+
+        def fast(_):
+            _, rows = jax.lax.scan(tile, (), (start, local))
+            return rows.reshape(-1, L)
+
+        def slow(_):
+            return jnp.take(t, i, axis=0)
+
+        return jax.lax.cond(overflow, slow, fast, None)
+
+    if B == 1:
+        return one(table[0], idx[0], valid[0])[None]
+
+    def body(_, x):
+        t, i, v = x
+        return (), one(t, i, v)
+
+    _, rows = jax.lax.scan(body, (), (table, idx, valid))
+    return rows
+
+
 def banded_cfg(Hq: int, Wq: int, D: int, H: int, W: int):
     """Static banding parameters for a level, or None to use a monolithic
     scatter.

@@ -62,8 +62,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels.patch_epilogue import epilogue_bwd, epilogue_fwd
-from .banded_take import (banded_cfg, banded_scatter_add, batched_take,
-                          take_quad_banded)
+from .banded_take import (banded_cfg, banded_gather_rows, banded_scatter_add,
+                          batched_take, gather_band_cfg, take_quad_banded)
 from .geometry import project_to_src
 from .grid_sample import (grid_sample, grid_sample_quad, pack_blocks,
                           pack_patches, pack_quad, pack_strips, quad_weights)
@@ -444,8 +444,21 @@ def _patch_sample(static, table: Array, ops) -> Array:
         fx, fy = _patch_frac(x, y, valid, x_org, y_org, ph, pw)
         # ONE fused gather fetches all S splits' lanes per row (the gather
         # engine charges per row ~independent of width to 1 KB), then each
-        # split's 128-lane block feeds the epilogue kernel.
-        rows = _patch_gather(table, idx)                     # (B, ng*hw, S*L)
+        # split's 128-lane block feeds the epilogue kernel. Past the
+        # fast-regime row budget (eval-res level 0: 999K-row tables gather
+        # at ~12 ns/row) the gather runs BANDED: per ref-row tile, a
+        # band-sized dynamic slice of the table re-enters the fast regime
+        # (3.8 vs 12.1 ms measured, scripts/probe_banded_gather.py), with
+        # an exact monolithic fallback when a tile's valid rows escape
+        # its band.
+        bg = gather_band_cfg(Ht * Wt, Wt, height, width)
+        if bg is not None:
+            valid_g = jnp.any(valid, axis=2).reshape(B, -1)  # (B, ng*hw)
+            rows = banded_gather_rows(
+                table.reshape(B, Ht * Wt, S * L), idx, valid_g, ng,
+                height, width, Wt, *bg)
+        else:
+            rows = _patch_gather(table, idx)                 # (B, ng*hw, S*L)
         rows = rows.reshape(B, ng, hw, S, L)
         outs = []
         for s in range(S):

@@ -162,3 +162,62 @@ def test_cost_volume_grads_unchanged_by_banding(monkeypatch):
     g_off = jax.grad(loss)(feats)
     np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
                                rtol=2e-5, atol=2e-5)
+
+
+# --- banded FORWARD gather (round 5: eval-res past-the-cliff tables) -------
+
+def test_banded_gather_rows_matches_take():
+    """Structured warp-like indices: banded == monolithic, any batch."""
+    from casmvsnet_pl_tpu.ops.banded_take import banded_gather_rows
+    ng, H, W, L = 2, 24, 16, 8
+    Ht, Wt = H + 2, W + 2
+    R = Ht * Wt
+    for B in (1, 3):
+        table = jnp.asarray(rng.randn(B, R, L).astype(np.float32))
+        y = np.clip(np.arange(H)[:, None] + rng.randint(-2, 3, (H, W)),
+                    0, Ht - 1)
+        x = np.clip(np.arange(W)[None, :] + rng.randint(-2, 3, (H, W)),
+                    0, Wt - 1)
+        idx1 = (y * Wt + x).astype(np.int32).reshape(-1)
+        idx = np.stack([np.concatenate([idx1] * ng)] * B)      # (B, ng*H*W)
+        valid = rng.rand(B, ng * H * W) > 0.15
+        got = banded_gather_rows(table, jnp.asarray(idx), jnp.asarray(valid),
+                                 ng, H, W, Wt, 8, 16)
+        ref = np.stack([np.asarray(table[b])[idx[b]] for b in range(B)])
+        # only VALID rows are guaranteed; invalid rows feed zero weights
+        v = valid[..., None]
+        np.testing.assert_allclose(np.where(v, np.asarray(got), 0.0),
+                                   np.where(v, ref, 0.0))
+
+
+def test_banded_gather_rows_overflow_falls_back():
+    """A tile whose valid rows span more than the band must fall back to
+    the exact monolithic gather (lax.cond), not clamp."""
+    from casmvsnet_pl_tpu.ops.banded_take import banded_gather_rows
+    ng, H, W, L = 1, 16, 8, 4
+    Ht, Wt = H + 2, W + 2
+    R = Ht * Wt
+    table = jnp.asarray(rng.randn(1, R, L).astype(np.float32))
+    # every sample valid; indices alternate between top and bottom row
+    # blocks -> no 4-row band can cover a tile
+    y = np.where(np.arange(H * W) % 2 == 0, 0, Ht - 1)
+    idx = (y * Wt + np.arange(H * W) % Wt).astype(np.int32)[None]
+    valid = np.ones((1, H * W), bool)
+    got = banded_gather_rows(table, jnp.asarray(idx), jnp.asarray(valid),
+                             ng, H, W, Wt, 8, 4)
+    ref = np.asarray(table[0])[idx[0]][None]
+    np.testing.assert_allclose(np.asarray(got), ref)
+
+
+def test_gather_band_cfg_policy():
+    from casmvsnet_pl_tpu.ops.banded_take import gather_band_cfg
+    # under the row budget: no banding (train-res tables stay monolithic)
+    assert gather_band_cfg(514 * 642, 642, 512, 640) is None
+    # eval-res level 0: past the budget, 864 % 96 == 0 -> (96, 128)
+    assert gather_band_cfg(866 * 1154, 1154, 864, 1152) == (96, 128)
+    # env kill switch
+    os.environ["CASMVS_BANDED_GATHER"] = "0"
+    try:
+        assert gather_band_cfg(866 * 1154, 1154, 864, 1152) is None
+    finally:
+        del os.environ["CASMVS_BANDED_GATHER"]
