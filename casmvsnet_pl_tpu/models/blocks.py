@@ -208,7 +208,7 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        wf = (wfold_factor(x.shape[-2], self.features)
+        wf = (wfold_factor(x.shape[-2], x.shape[-1], self.features)
               if (self.dims == 2 and self.stride == 1
                   and self.pad == (self.kernel_size - 1) // 2) else 1)
         if self.dims == 3 and self.kernel_size == 3 and self.pad == 1 \

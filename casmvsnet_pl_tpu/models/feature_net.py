@@ -49,8 +49,8 @@ class FeatureNet(nn.Module):
         # channel reduction — the net's hottest convs (2.25 of 5.54 ms at
         # bench res, ~1% MFU: Cout 8/16 idles the MXU lanes); width-folded
         # where the width divides (param-compatible with nn.Conv)
-        wf1 = wfold_factor(feat1.shape[-2], 16)
-        wf0 = wfold_factor(feat0.shape[-2], 8)
+        wf1 = wfold_factor(feat1.shape[-2], feat1.shape[-1], 16)
+        wf0 = wfold_factor(feat0.shape[-2], feat0.shape[-1], 8)
         if wf1 >= 4:
             feat1 = WFoldedConv2D(16, wf1, use_bias=True, dtype=self.dtype,
                                   name="smooth1")(feat1)

@@ -90,24 +90,33 @@ _GATHER_FAST_ROWS = 340_000
 
 
 def gather_band_cfg(R: int, Wt: int, H: int, W: int,
-                    itemsize_lanes: int = 256):
+                    lane_bytes: int = 256):
     """Static banding parameters for the FORWARD gather, or None.
 
-    Banding only pays when the source table is past the gather fast-regime
-    row budget (eval-res level 0: 999K rows gather at ~12 ns/row). A tile
-    of consecutive ref-image rows reads from a bounded band of source
-    rows; a band-sized dynamic slice re-enters the fast regime. Measured
-    at 1152x864 L0 geometry (scripts/probe_banded_gather.py, v5e):
-    mono 12.05 ms -> banded(tile 96, band 128) 3.84 ms / (tile 32, band
-    64) 4.47 (both ~32 ref rows of drift headroom); too-thin bands
-    (96/64, 32/32) overflow on the same geometry and correctly fall
-    back to the monolithic gather. Returns (tile_rows, band_rows).
+    Banding only pays when the source table is past the gather fast
+    regime. Two measured slow regimes (v5e):
+
+    * past the ~340K ROW budget — eval-res L0: 999K-row/256B tables
+      gather at 12.1 ns/row; banded (tile 96, band 128) 3.84 ms vs
+      12.05 mono (scripts/probe_banded_gather.py);
+    * WIDE rows past the byte budget — eval-res L1: 251K rows x 512 B
+      (128 MB) gathers at 14.0 ns/row; banded (tile 48, band 96)
+      3.65 vs 6.98 ms (scripts/probe_banded_l1.py).
+
+    Fast tables must stay monolithic: eval-res L2 (63K x 1KB) gathers
+    at its floor already and banding LOSES (1.72 vs 1.06 ms), and the
+    bench-res L0 table (330K x 256B / 84 MB) is measured fast. Too-thin
+    bands overflow on real geometry and correctly fall back. Returns
+    (tile_rows, band_rows).
     """
     if os.environ.get("CASMVS_BANDED_GATHER", "1") == "0":
         return None
-    if R <= _GATHER_FAST_ROWS:
+    wide_slow = R > 150_000 and lane_bytes > 256
+    if R <= _GATHER_FAST_ROWS and not wide_slow:
         return None
-    for tile_rows, band_rows in ((96, 128), (32, 64), (16, 64), (8, 64)):
+    grid = ((48, 96), (24, 64), (16, 48), (8, 32)) if lane_bytes > 256 \
+        else ((96, 128), (32, 64), (16, 64), (8, 64))
+    for tile_rows, band_rows in grid:
         if H % tile_rows == 0:
             return tile_rows, band_rows
     return None

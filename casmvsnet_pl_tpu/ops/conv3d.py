@@ -222,9 +222,20 @@ def conv2d_wfolded(x: Array, kernel: Array, F: int) -> Array:
     return zf.reshape(B, H, W, Co)
 
 
-def wfold_factor(W: int, Co: int, lanes: int = 128) -> int:
-    """Largest F with F*Co <= lanes and W % F == 0 (1 = don't fold)."""
-    F = max(1, lanes // max(Co, 1))
+def wfold_factor(W: int, Ci: int, Co: int, lanes: int = 128) -> int:
+    """Width-fold factor for a stride-1 conv, or 1 (don't fold).
+
+    Measured policy (scripts/probe_wfold.py, v5e): the best F puts the
+    LARGER of the folded input/output channel counts at the 128-lane
+    width — smooth0 (32->8) wants F=4 (0.94 vs 1.67 ms plain; F=16 is
+    1.26), conv0_1 (8->8) wants F=16 (0.18 vs 0.24), smooth1 (32->16)
+    F=4/8 tie (0.13 vs 0.56). Folding Cout=32 LOSES (conv2_1: 0.21 vs
+    0.10 plain) — the plain conv already fills a quarter of the lanes
+    and the F/3 FLOP inflation dominates — so only Cout <= 16 folds.
+    """
+    if Co > 16:
+        return 1
+    F = max(1, lanes // max(Ci, Co, 1))
     while F > 1 and W % F:
         F //= 2
     return F

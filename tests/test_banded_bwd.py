@@ -215,6 +215,12 @@ def test_gather_band_cfg_policy():
     assert gather_band_cfg(514 * 642, 642, 512, 640) is None
     # eval-res level 0: past the budget, 864 % 96 == 0 -> (96, 128)
     assert gather_band_cfg(866 * 1154, 1154, 864, 1152) == (96, 128)
+    # eval-res level 1: wide (512 B) rows past the byte budget -> banded
+    assert gather_band_cfg(434 * 578, 578, 432, 576, 512) == (48, 96)
+    # eval-res level 2: wide but small -> fast already, stays monolithic
+    assert gather_band_cfg(218 * 290, 290, 216, 288, 1024) is None
+    # bench-res level 1: small split-2 table stays monolithic
+    assert gather_band_cfg(258 * 322, 322, 256, 320, 512) is None
     # env kill switch
     os.environ["CASMVS_BANDED_GATHER"] = "0"
     try:
