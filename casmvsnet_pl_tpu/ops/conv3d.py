@@ -222,6 +222,15 @@ def conv2d_wfolded(x: Array, kernel: Array, F: int) -> Array:
     return zf.reshape(B, H, W, Co)
 
 
+def _on_tpu() -> bool:
+    """True when computations are placed on TPU right now (trace-time;
+    same logic as kernels/patch_epilogue._on_tpu)."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", dd) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def wfold_factor(W: int, Ci: int, Co: int, lanes: int = 128) -> int:
     """Width-fold factor for a stride-1 conv, or 1 (don't fold).
 
@@ -232,8 +241,13 @@ def wfold_factor(W: int, Ci: int, Co: int, lanes: int = 128) -> int:
     F=4/8 tie (0.13 vs 0.56). Folding Cout=32 LOSES (conv2_1: 0.21 vs
     0.10 plain) — the plain conv already fills a quarter of the lanes
     and the F/3 FLOP inflation dominates — so only Cout <= 16 folds.
+
+    TPU only: on CPU the fold is pure loss (F/3x FLOPs and measurably
+    slower XLA:CPU compiles across every full-model test); the op
+    itself stays backend-agnostic and exact (tests/test_model.py pins
+    folded == plain directly).
     """
-    if Co > 16:
+    if Co > 16 or not _on_tpu():
         return 1
     F = max(1, lanes // max(Ci, Co, 1))
     while F > 1 and W % F:

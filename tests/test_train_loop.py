@@ -19,9 +19,9 @@ def test_fit_quality_and_artifacts(quality_fit):
     trains the full 3-level cascade on the synthetic plane scene and
     asserts held-out accuracy beats fixed thresholds — not just "loss
     decreases". Thresholds are set ~2x above measured trajectories
-    (scripts/probe_quality.py, two runs): after 16-32 updates abs_err
-    reached 1.2-2.8 mm and acc_2mm 0.5-0.8, from an untrained
-    21.9 mm / 0.001 (the fit here runs 24 updates). The reference bar is the real-DTU recipe
+    (scripts/probe_quality.py + the round-5 re-measure): the 4-epoch
+    trajectory is 38.9 / 29.9 / 12.1 / <4 mm — the last epoch's steep
+    phase is required, a 3-epoch trim fails the thresholds. The reference bar is the real-DTU recipe
     (/root/reference/README.md:47-53); the one-command real-DTU runbook
     is in README.md for when a dataset is mounted.
 
