@@ -29,13 +29,17 @@ bf16 matmul measures 197 TFLOP/s on v5e.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_MAPS_PER_SEC = 4.0          # RTX 2080Ti estimate, see module docstring
-BUDGET_S = 300.0                     # wall-clock budget for the whole sweep
+# Wall-clock budget for the whole sweep. The driver runs with the default;
+# cache-warming runs (which must compile ALL batch sizes so the driver's
+# budget survives on warm executables) override it via the env var.
+BUDGET_S = float(os.environ.get("CASMVS_BENCH_BUDGET_S", "300"))
 
 
 def make_inputs(batch: int, H: int, W: int, n_views: int):
