@@ -30,7 +30,7 @@ from casmvsnet_pl_tpu.utils.devtime import device_time
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "..", ".jax_tpu_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 B, H, W = 3, 512, 640     # bench batch 1 => 3 views through the net
 dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32

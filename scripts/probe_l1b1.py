@@ -22,7 +22,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "..", ".jax_tpu_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
     from casmvsnet_pl_tpu.utils.devtime import device_time
     from casmvsnet_pl_tpu.ops import plane_sweep as ps
@@ -136,7 +136,7 @@ def fine():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "..", ".jax_tpu_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
     from casmvsnet_pl_tpu.utils.devtime import device_time
     from casmvsnet_pl_tpu.ops import plane_sweep as ps

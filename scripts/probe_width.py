@@ -4,7 +4,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_tpu_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import jax.numpy as jnp
 from casmvsnet_pl_tpu.utils.devtime import device_time
 

@@ -20,7 +20,7 @@ from casmvsnet_pl_tpu.utils.devtime import device_time
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "..", ".jax_tpu_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 print("backend:", jax.default_backend(), flush=True)
 W, H, V = 1152, 864, 5
 dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32

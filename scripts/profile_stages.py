@@ -34,7 +34,7 @@ def main():
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "..", ".jax_tpu_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     print("backend:", jax.default_backend(), flush=True)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
