@@ -74,6 +74,10 @@ def main():
         [(48, 96), (27, 64), (16, 48)])
     run("L2 216x288 ng=3", 216, 288, 3, 512,
         [(72, 128), (24, 64)])
+    # bench-res L1: 83K rows x 512 B (42 MB) — between the measured fast
+    # (63K x 1KB) and slow (251K x 512B) regimes
+    run("L1 256x320 ng=2", 256, 320, 2, 256,
+        [(32, 64), (16, 48)])
 
 
 if __name__ == "__main__":
