@@ -30,11 +30,20 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def conv3x3x3(x: Array, kernel: Array, stride: int = 1) -> Array:
+def conv3x3x3(x: Array, kernel: Array, stride: int = 1,
+              wfold: bool | None = None) -> Array:
     """3D conv, kernel 3x3x3, SAME padding, stride 1 or 2, NDHWC/DHWIO.
 
     x: (B, D, H, W, Cin); kernel: (3, 3, 3, Cin, Cout).
     Returns (B, ceil(D/s), ceil(H/s), ceil(W/s), Cout) in x.dtype.
+
+    wfold: width-fold the stride-1 2D core (exact; see conv2d_wfolded).
+    The tap-unrolled core has N = 3*Cout lanes — 19-38% occupancy at the
+    CostRegNet's shallow convs — and F=4 folding measures 0.855 -> 0.587
+    ms at the L2 conv0 shape and 0.155 -> 0.048 at conv2
+    (scripts/probe_costreg_wfold.py, v5e). None = auto: fold on TPU when
+    stride 1, W % 4 == 0 and 3*Cout <= 64 (the probe's win region;
+    conv4/conv6 at 3*Cout = 96+ lose the F/3 FLOP trade).
     """
     B, D, H, W, Ci = x.shape
     kd, kh, kw, _, Co = kernel.shape
@@ -42,12 +51,19 @@ def conv3x3x3(x: Array, kernel: Array, stride: int = 1) -> Array:
     # (kh, kw, Ci, 3*Co): tap i of the depth kernel occupies channels
     # [i*Co, (i+1)*Co)
     k2 = jnp.concatenate([kernel[0], kernel[1], kernel[2]], axis=-1)
-    # explicit (1, 1) padding = torch Conv3d(k=3, padding=1) semantics for
-    # both strides (XLA "SAME" would pad (0, 1) at stride 2 — different taps)
-    z = jax.lax.conv_general_dilated(
-        x.reshape(B * D, H, W, Ci), k2.astype(x.dtype),
-        window_strides=(stride, stride), padding=((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if wfold is None:
+        wfold = (stride == 1 and W % 4 == 0 and 3 * Co <= 64 and _on_tpu())
+    if wfold and stride == 1 and W % 4 == 0:
+        z = conv2d_wfolded(x.reshape(B * D, H, W, Ci),
+                           k2.astype(x.dtype), 4)
+    else:
+        # explicit (1, 1) padding = torch Conv3d(k=3, padding=1) semantics
+        # for both strides (XLA "SAME" would pad (0, 1) at stride 2 —
+        # different taps)
+        z = jax.lax.conv_general_dilated(
+            x.reshape(B * D, H, W, Ci), k2.astype(x.dtype),
+            window_strides=(stride, stride), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     Ho, Wo = z.shape[1], z.shape[2]
     z = z.reshape(B, D, Ho, Wo, 3, Co)
     zp = jnp.pad(z, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))

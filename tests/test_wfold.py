@@ -47,3 +47,19 @@ def test_wfold_policy_cpu_off():
     # the policy helper reflects the current backend.
     assert jax.default_backend() != "tpu"
     assert wfold_factor(640, 32, 8) == 1
+
+
+def test_conv3x3x3_wfolded_core_exact():
+    """The width-folded stride-1 3D-conv core == the plain lowering."""
+    from casmvsnet_pl_tpu.ops.conv3d import conv3x3x3
+    x = jnp.asarray(rng.randn(1, 8, 8, 16, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 32, 8).astype(np.float32) * 0.1)
+    plain = conv3x3x3(x, k, wfold=False)
+    folded = conv3x3x3(x, k, wfold=True)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain),
+                               rtol=1e-4, atol=1e-4)
+    # gradients through the folded core
+    gp = jax.grad(lambda x: jnp.sum(conv3x3x3(x, k, wfold=False) ** 2))(x)
+    gf = jax.grad(lambda x: jnp.sum(conv3x3x3(x, k, wfold=True) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gp),
+                               rtol=1e-3, atol=1e-3)
