@@ -139,6 +139,7 @@ def banded_gather_rows(table: Array, idx: Array, valid: Array, ng: int,
     bz = band_rows * Wt
     m = tile_rows * W
     nt = idx.shape[1] // m                # = ng * H / tile_rows
+    assert bz <= R and nt * m == idx.shape[1], (bz, R, nt, m, idx.shape)
     big = jnp.int32(np.iinfo(np.int32).max)
 
     def one(t, i, v):
