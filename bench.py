@@ -129,6 +129,19 @@ def main():
     t0 = time.time()
     best = 0.0
     if on_tpu:
+        # Device-state check: fresh-process throughput is BIMODAL on this
+        # chip (modal 31.0 maps/s, occasional runs at ~34.5 from the SAME
+        # cached executables — see PERF_NOTES "Current headline"). An MXU
+        # reference measurement tags which mode produced this artifact.
+        try:
+            import jax.numpy as jnp
+            from casmvsnet_pl_tpu.utils.devtime import device_time
+            a = jnp.ones((4096, 4096), jnp.bfloat16)
+            dt = device_time(lambda a: a @ a, a, iters=32)
+            print(f"bench: MXU reference {2 * 4096**3 / dt / 1e12:.0f} "
+                  f"TFLOP/s bf16 (197 = modal)", file=sys.stderr)
+        except Exception as e:                      # never block the sweep
+            print(f"bench: MXU reference skipped: {e!r}", file=sys.stderr)
         for batch in (1, 4, 8):      # batch 16 overflows the remote compiler
             elapsed = time.time() - t0
             if best > 0.0 and elapsed > BUDGET_S:
