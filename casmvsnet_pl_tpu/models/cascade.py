@@ -171,9 +171,11 @@ class CascadeMVSNet(nn.Module):
         """Shared FPN features for all views.
 
         imgs: (B, V, H, W, 3) -> {'level_l': (B, V, h_l, w_l, C_l)}.
-        Exposed separately so inference can batch the (well-scaling)
-        feature extraction while chunking the cascade (see
-        :func:`chunked_apply`).
+        Public with :meth:`from_features` so pipelines can cache or
+        precompute features; note :func:`chunked_apply` deliberately
+        does NOT use this split (batching features outside its lax.map
+        measured ~4 ms/iter of layout-handoff overhead and was
+        rejected — see its docstring).
         """
         B, V, H, W, _ = imgs.shape
         feats = self.feature(imgs.reshape(B * V, H, W, 3).astype(self.dtype),

@@ -45,6 +45,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels.patch_epilogue import _on_tpu
+
 Array = jax.Array
 
 # Scatter-rate cliff by TARGET row count (scripts/probe_scatter2.py fine
@@ -89,8 +91,7 @@ def batched_take(table: Array, idx: Array) -> Array:
 _GATHER_FAST_ROWS = 340_000
 
 
-def gather_band_cfg(R: int, Wt: int, H: int, W: int,
-                    lane_bytes: int = 256):
+def gather_band_cfg(R: int, Wt: int, H: int, lane_bytes: int = 256):
     """Static banding parameters for the FORWARD gather, or None.
 
     Banding only pays when the source table is past the gather fast
@@ -109,7 +110,11 @@ def gather_band_cfg(R: int, Wt: int, H: int, W: int,
     bands overflow on real geometry and correctly fall back. Returns
     (tile_rows, band_rows).
     """
-    if os.environ.get("CASMVS_BANDED_GATHER", "1") == "0":
+    # "0" = off, "1" = force-enable on any backend (tests), default =
+    # TPU only: the thresholds are v5e gather-engine measurements; on
+    # CPU/GPU the banded path is strictly extra memory traffic.
+    env = os.environ.get("CASMVS_BANDED_GATHER", "auto")
+    if env == "0" or (env != "1" and not _on_tpu()):
         return None
     wide_slow = R > 150_000 and lane_bytes > 256
     if R <= _GATHER_FAST_ROWS and not wide_slow:
@@ -117,7 +122,10 @@ def gather_band_cfg(R: int, Wt: int, H: int, W: int,
     grid = ((48, 96), (24, 64), (16, 48), (8, 32)) if lane_bytes > 256 \
         else ((96, 128), (32, 64), (16, 64), (8, 64))
     for tile_rows, band_rows in grid:
-        if H % tile_rows == 0:
+        # the band must fit inside the table (short-but-wide geometries
+        # can otherwise pick band_rows > Ht and trip the trace-time
+        # assert in banded_gather_rows instead of degrading to mono)
+        if H % tile_rows == 0 and band_rows * Wt <= R:
             return tile_rows, band_rows
     return None
 
@@ -138,8 +146,11 @@ def banded_gather_rows(table: Array, idx: Array, valid: Array, ng: int,
     B, R, L = table.shape
     bz = band_rows * Wt
     m = tile_rows * W
-    nt = idx.shape[1] // m                # = ng * H / tile_rows
-    assert bz <= R and nt * m == idx.shape[1], (bz, R, nt, m, idx.shape)
+    nt = idx.shape[1] // m
+    # Enforce the documented layout contract: idx is (group, ref-row-major
+    # pixels), so the tiles must cover it exactly, group-aligned.
+    assert bz <= R and nt * m == idx.shape[1] \
+        and nt == ng * (H // tile_rows), (bz, R, nt, m, ng, H, idx.shape)
     big = jnp.int32(np.iinfo(np.int32).max)
 
     def one(t, i, v):

@@ -238,13 +238,9 @@ def conv2d_wfolded(x: Array, kernel: Array, F: int) -> Array:
     return zf.reshape(B, H, W, Co)
 
 
-def _on_tpu() -> bool:
-    """True when computations are placed on TPU right now (trace-time;
-    same logic as kernels/patch_epilogue._on_tpu)."""
-    dd = jax.config.jax_default_device
-    if dd is not None:
-        return getattr(dd, "platform", dd) == "tpu"
-    return jax.default_backend() == "tpu"
+# Single source of truth for trace-time backend detection (this very
+# logic needed a string-vs-Device fix once; keep one copy).
+from ..kernels.patch_epilogue import _on_tpu  # noqa: E402
 
 
 def wfold_factor(W: int, Ci: int, Co: int, lanes: int = 128) -> int:

@@ -451,7 +451,7 @@ def _patch_sample(static, table: Array, ops) -> Array:
         # (3.8 vs 12.1 ms measured, scripts/probe_banded_gather.py), with
         # an exact monolithic fallback when a tile's valid rows escape
         # its band.
-        bg = gather_band_cfg(Ht * Wt, Wt, height, width,
+        bg = gather_band_cfg(Ht * Wt, Wt, height,
                              S * L * table.dtype.itemsize)
         if bg is not None:
             valid_g = jnp.any(valid, axis=2).reshape(B, -1)  # (B, ng*hw)

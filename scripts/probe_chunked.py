@@ -1,9 +1,12 @@
 """Probe: chunked_apply vs plain batched forward at B in {4, 8}.
 
 Round-5 task 1 (VERDICT.md): batch >= 4 loses ~20%/map to VMEM
-working-set spill. chunked_apply batches the feature net and lax.maps the
-cascade in chunks; this measures maps/s for chunk in {1, 2} against the
-plain batched forward and the batch-1 reference.
+working-set spill. This probe measured the FIRST chunked_apply variant
+(batched feature net + lax.map of the cascade-after-features) for chunk
+in {1, 2} against the plain batched forward and the batch-1 reference.
+HISTORY: the split-handoff variant measured here (27.0 maps/s at B=4)
+lost ~4 ms/iter to layout handoffs; probe_chunked2.py's full-forward
+scan won (29.4) and is what chunked_apply ships today.
 
 Run alone on the TPU (no concurrent processes).
 """

@@ -211,19 +211,25 @@ def test_banded_gather_rows_overflow_falls_back():
 
 def test_gather_band_cfg_policy():
     from casmvsnet_pl_tpu.ops.banded_take import gather_band_cfg
-    # under the row budget: no banding (train-res tables stay monolithic)
-    assert gather_band_cfg(514 * 642, 642, 512, 640) is None
-    # eval-res level 0: past the budget, 864 % 96 == 0 -> (96, 128)
-    assert gather_band_cfg(866 * 1154, 1154, 864, 1152) == (96, 128)
-    # eval-res level 1: wide (512 B) rows past the byte budget -> banded
-    assert gather_band_cfg(434 * 578, 578, 432, 576, 512) == (48, 96)
-    # eval-res level 2: wide but small -> fast already, stays monolithic
-    assert gather_band_cfg(218 * 290, 290, 216, 288, 1024) is None
-    # bench-res level 1: small split-2 table stays monolithic
-    assert gather_band_cfg(258 * 322, 322, 256, 320, 512) is None
-    # env kill switch
-    os.environ["CASMVS_BANDED_GATHER"] = "0"
+    # policy thresholds are v5e measurements: off-TPU the cfg returns
+    # None unless force-enabled (the env doubles as the test hook)
+    assert gather_band_cfg(866 * 1154, 1154, 864) is None
+    os.environ["CASMVS_BANDED_GATHER"] = "1"
     try:
-        assert gather_band_cfg(866 * 1154, 1154, 864, 1152) is None
+        # under the row budget: no banding (train-res tables monolithic)
+        assert gather_band_cfg(514 * 642, 642, 512) is None
+        # eval-res level 0: past the budget, 864 % 96 == 0 -> (96, 128)
+        assert gather_band_cfg(866 * 1154, 1154, 864) == (96, 128)
+        # eval-res level 1: wide (512 B) rows past the byte budget
+        assert gather_band_cfg(434 * 578, 578, 432, 512) == (48, 96)
+        # eval-res level 2: wide but small -> fast already, monolithic
+        assert gather_band_cfg(218 * 290, 290, 216, 1024) is None
+        # bench-res level 1: small split-2 table stays monolithic
+        assert gather_band_cfg(258 * 322, 322, 256, 512) is None
+        # short-but-wide: no band fits the table -> mono, not an assert
+        assert gather_band_cfg(26 * 6402, 6402, 24, 512) is None
+        # kill switch beats force
+        os.environ["CASMVS_BANDED_GATHER"] = "0"
+        assert gather_band_cfg(866 * 1154, 1154, 864) is None
     finally:
         del os.environ["CASMVS_BANDED_GATHER"]
